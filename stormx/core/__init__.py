@@ -1,0 +1,23 @@
+from stormx.core.config import (
+    default_int_dtype,
+    default_real_dtype,
+    enable_x64,
+    machine_epsilon,
+    x64_enabled,
+)
+from stormx.core.exceptions import SolverBreakdownError, StormError, StormIoError
+from stormx.core.logging import get_logger
+from stormx.core.banner import print_banner
+
+__all__ = [
+    "default_int_dtype",
+    "default_real_dtype",
+    "enable_x64",
+    "machine_epsilon",
+    "x64_enabled",
+    "SolverBreakdownError",
+    "StormError",
+    "StormIoError",
+    "get_logger",
+    "print_banner",
+]

@@ -1,0 +1,5 @@
+from stormx.mesh import shapes
+from stormx.mesh.tetgen import read_tetgen
+from stormx.mesh.unstructured import DeviceMesh, UnstructuredMesh, build_mesh
+
+__all__ = ["shapes", "read_tetgen", "DeviceMesh", "UnstructuredMesh", "build_mesh"]

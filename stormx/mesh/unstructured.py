@@ -1,0 +1,391 @@
+"""Unstructured mesh: host-side vectorized builder → frozen device arrays.
+
+Reference: ``Mallard/MeshUnstructured.hpp:53-614`` builds the mesh entity by
+entity (``insert`` → ``find_or_insert`` sub-entities → orientation fix) with
+a (TopoDim+1)² matrix of connectivity tables.  The TPU-native re-design
+replaces incremental insertion with one vectorized NumPy pass (sort-unique
+face derivation), and per-entity object views with structure-of-arrays:
+
+  * ``face_cells[f] = (inner, outer)`` with ``outer = -1`` on the boundary —
+    the analog of ``FaceView::inner_cell/outer_cell``
+    (``Mallard/Mesh.hpp:269-280``);
+  * label-partitioned entity ranges (interior label 0 first, then boundary
+    labels ascending — ``Mallard/Mesh.hpp:443-480``) become sorted index
+    ranges per label;
+  * geometry arrays (volumes, centers, areas, normals) frozen once.
+
+``device_arrays()`` freezes everything into a pytree of jnp arrays, including
+the **cell←face incidence table in ELL form** that turns the FVM
+scatter-accumulate (``ConvectionScheme.hpp:155-174``) into a pure gather on
+device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from stormx.core.exceptions import StormError
+from stormx.mesh import shapes
+
+__all__ = ["UnstructuredMesh", "DeviceMesh", "build_mesh"]
+
+INTERIOR = 0  # label 0 = interior entities (Mallard/Mesh.hpp:443-480)
+
+
+@dataclass
+class UnstructuredMesh:
+    """Host-side mesh: NumPy connectivity + geometry.
+
+    2D: cells are triangles/quads, faces are edges.
+    3D: cells are tets (extendable per shape group), faces are triangles.
+    """
+
+    dim: int
+    node_positions: np.ndarray  # (num_nodes, dim)
+    cell_nodes: np.ndarray  # (num_cells, nodes_per_cell)
+    cell_shape: int  # shapes.* type id (homogeneous; hybrid = groups)
+
+    # Derived connectivity.
+    face_nodes: np.ndarray = field(default=None)  # (num_faces, npf)
+    face_cells: np.ndarray = field(default=None)  # (num_faces, 2) inner, outer
+    face_labels: np.ndarray = field(default=None)  # (num_faces,)
+    node_labels: np.ndarray = field(default=None)
+
+    # Geometry.
+    cell_volumes: np.ndarray = field(default=None)
+    cell_centers: np.ndarray = field(default=None)
+    face_areas: np.ndarray = field(default=None)
+    face_normals: np.ndarray = field(default=None)  # inner → outer
+    face_centers: np.ndarray = field(default=None)
+
+    # Label ranges over the label-sorted face array: faces with label L are
+    # face_label_ranges[L] : face_label_ranges[L+1].
+    face_label_ranges: np.ndarray = field(default=None)
+
+    # ------------------------------------------------------------------
+    # Mesh-concept API (reference MeshInterface, Mallard/Mesh.hpp:330-482).
+    # ------------------------------------------------------------------
+    @property
+    def num_nodes(self) -> int:
+        return len(self.node_positions)
+
+    @property
+    def num_cells(self) -> int:
+        return len(self.cell_nodes)
+
+    @property
+    def num_faces(self) -> int:
+        return len(self.face_nodes)
+
+    def num_faces_with_label(self, label: int) -> int:
+        r = self.face_label_ranges
+        return int(r[label + 1] - r[label])
+
+    @property
+    def num_labels(self) -> int:
+        return len(self.face_label_ranges) - 1
+
+    def interior_faces(self) -> np.ndarray:
+        """Indices of interior faces (label 0)."""
+        return np.arange(self.face_label_ranges[0], self.face_label_ranges[1])
+
+    def boundary_faces(self, label: int | None = None) -> np.ndarray:
+        r = self.face_label_ranges
+        if label is None:
+            return np.arange(r[1], r[-1])
+        return np.arange(r[label], r[label + 1])
+
+    # ------------------------------------------------------------------
+    def device_arrays(self, dtype=None) -> "DeviceMesh":
+        import jax.numpy as jnp
+
+        from stormx.core.config import default_real_dtype
+
+        dtype = dtype or default_real_dtype()
+        idt = np.int32
+
+        interior = self.interior_faces()
+        boundary = self.boundary_faces()
+
+        # Cell ← face incidence (ELL): for each cell, its incident interior
+        # faces and ±1 signs (+ if the cell is the face's inner cell).  This
+        # turns div-flux accumulation into a gather: no scatter on device.
+        inner = self.face_cells[interior, 0]
+        outer = self.face_cells[interior, 1]
+        pairs_cell = np.concatenate([inner, outer])
+        pairs_face = np.concatenate([interior, interior]).astype(np.int64)
+        pairs_sign = np.concatenate(
+            [np.ones(len(interior)), -np.ones(len(interior))]
+        )
+        order = np.argsort(pairs_cell, kind="stable")
+        pairs_cell, pairs_face, pairs_sign = (
+            pairs_cell[order],
+            pairs_face[order],
+            pairs_sign[order],
+        )
+        counts = np.bincount(pairs_cell, minlength=self.num_cells)
+        K = int(counts.max()) if len(counts) else 0
+        starts = np.zeros(self.num_cells + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        within = np.arange(len(pairs_cell)) - starts[pairs_cell]
+        cf_face = np.zeros((self.num_cells, K), dtype=idt)
+        cf_sign = np.zeros((self.num_cells, K), dtype=np.float64)
+        cf_face[pairs_cell, within] = pairs_face
+        cf_sign[pairs_cell, within] = pairs_sign
+
+        # Cell → adjacent-cell ELL (via interior faces), padded with self —
+        # the ``cell.for_each_cell`` adjacency of the reference
+        # (``Mallard/Mesh.hpp:300-306``) used by LSQ gradients and limiters.
+        pairs_adj = np.concatenate([outer, inner])[order]
+        cell_adj = np.tile(np.arange(self.num_cells, dtype=idt)[:, None], (1, K))
+        cell_adj[pairs_cell, within] = pairs_adj
+        # Interior-face distance between adjacent cell centers and the
+        # two-point-flux coefficient area/dist (≙ Playground.cpp:126-127).
+        d = self.cell_centers[outer] - self.cell_centers[inner]
+        face_dist = np.zeros(self.num_faces)
+        face_dist[interior] = np.linalg.norm(d, axis=1)
+
+        # Cell → all incident faces (incl. boundary) ELL, with validity mask —
+        # ``cell.for_each_face`` for the limiter's face loop
+        # (``GradientLimiterScheme.hpp:236-244``).
+        af_cell = np.concatenate(
+            [self.face_cells[:, 0], self.face_cells[self.face_cells[:, 1] >= 0, 1]]
+        )
+        af_face = np.concatenate(
+            [
+                np.arange(self.num_faces),
+                np.nonzero(self.face_cells[:, 1] >= 0)[0],
+            ]
+        )
+        order2 = np.argsort(af_cell, kind="stable")
+        af_cell, af_face = af_cell[order2], af_face[order2]
+        counts2 = np.bincount(af_cell, minlength=self.num_cells)
+        Kf = int(counts2.max()) if len(counts2) else 0
+        starts2 = np.zeros(self.num_cells + 1, dtype=np.int64)
+        np.cumsum(counts2, out=starts2[1:])
+        within2 = np.arange(len(af_cell)) - starts2[af_cell]
+        cell_all_faces = np.zeros((self.num_cells, Kf), dtype=idt)
+        cell_all_mask = np.zeros((self.num_cells, Kf), dtype=bool)
+        cell_all_faces[af_cell, within2] = af_face
+        cell_all_mask[af_cell, within2] = True
+
+        return DeviceMesh(
+            dim=self.dim,
+            num_cells=self.num_cells,
+            num_faces=self.num_faces,
+            face_inner=jnp.asarray(self.face_cells[:, 0].astype(idt)),
+            face_outer=jnp.asarray(self.face_cells[:, 1].astype(idt)),
+            interior_faces=jnp.asarray(interior.astype(idt)),
+            boundary_faces=jnp.asarray(boundary.astype(idt)),
+            face_label_ranges=tuple(int(x) for x in self.face_label_ranges),
+            cell_volumes=jnp.asarray(self.cell_volumes, dtype=dtype),
+            cell_centers=jnp.asarray(self.cell_centers, dtype=dtype),
+            face_areas=jnp.asarray(self.face_areas, dtype=dtype),
+            face_normals=jnp.asarray(self.face_normals, dtype=dtype),
+            face_centers=jnp.asarray(self.face_centers, dtype=dtype),
+            cell_face_ell=jnp.asarray(cf_face),
+            cell_face_sign=jnp.asarray(cf_sign, dtype=dtype),
+            cell_adj_ell=jnp.asarray(cell_adj),
+            cell_all_faces=jnp.asarray(cell_all_faces),
+            cell_all_faces_mask=jnp.asarray(cell_all_mask),
+            face_dist=jnp.asarray(face_dist, dtype=dtype),
+        )
+
+
+@dataclass(frozen=True)
+class DeviceMesh:
+    """Frozen device-side mesh arrays (a pytree; jit-closable)."""
+
+    dim: int
+    num_cells: int
+    num_faces: int
+    face_inner: object  # (num_faces,) int32
+    face_outer: object  # (num_faces,) int32; −1 on boundary
+    interior_faces: object  # (n_int,) int32 (== arange(range0, range1))
+    boundary_faces: object
+    face_label_ranges: tuple
+    cell_volumes: object  # (num_cells,)
+    cell_centers: object  # (num_cells, dim)
+    face_areas: object  # (num_faces,)
+    face_normals: object  # (num_faces, dim), inner → outer
+    face_centers: object  # (num_faces, dim)
+    cell_face_ell: object  # (num_cells, K) int32 face ids (gather table)
+    cell_face_sign: object  # (num_cells, K) ±1 / 0 padding
+    cell_adj_ell: object  # (num_cells, K) int32 adjacent cells (pad = self)
+    cell_all_faces: object  # (num_cells, Kf) int32 all incident faces
+    cell_all_faces_mask: object  # (num_cells, Kf) bool validity
+    face_dist: object  # (num_faces,) |center_outer − center_inner| (0 on bdry)
+
+
+def _register_device_mesh():
+    import jax
+
+    data = (
+        "face_inner",
+        "face_outer",
+        "interior_faces",
+        "boundary_faces",
+        "cell_volumes",
+        "cell_centers",
+        "face_areas",
+        "face_normals",
+        "face_centers",
+        "cell_face_ell",
+        "cell_face_sign",
+        "cell_adj_ell",
+        "cell_all_faces",
+        "cell_all_faces_mask",
+        "face_dist",
+    )
+    meta = ("dim", "num_cells", "num_faces", "face_label_ranges")
+
+    def flatten(m):
+        return tuple(getattr(m, f) for f in data), tuple(getattr(m, f) for f in meta)
+
+    def unflatten(meta_vals, data_vals):
+        kw = dict(zip(data, data_vals))
+        kw.update(zip(meta, meta_vals))
+        return DeviceMesh(**kw)
+
+    jax.tree_util.register_pytree_node(DeviceMesh, flatten, unflatten)
+
+
+_register_device_mesh()
+
+
+def build_mesh(
+    node_positions: np.ndarray,
+    cell_nodes: np.ndarray,
+    *,
+    boundary_face_labels: dict | None = None,
+    cell_shape: int | None = None,
+) -> UnstructuredMesh:
+    """Derive faces, connectivity, labels, geometry from cells.
+
+    ``boundary_face_labels`` maps a sorted node tuple → label (from the
+    TetGen ``.edge``/``.face`` marker files); unlabeled boundary faces get
+    label 1 (the reference treats every non-interior label as a boundary
+    group, ``Mallard/Mesh.hpp:465-480``).
+    """
+    node_positions = np.asarray(node_positions, dtype=np.float64)
+    cell_nodes = np.asarray(cell_nodes)
+    dim = node_positions.shape[1]
+    npc = cell_nodes.shape[1]
+
+    if cell_shape is None:
+        if dim == 2:
+            cell_shape = {3: shapes.TRIANGLE, 4: shapes.QUADRANGLE}[npc]
+        else:
+            cell_shape = {4: shapes.TETRAHEDRON, 8: shapes.HEXAHEDRON}[npc]
+
+    # --- fix inverted cells (2D): enforce CCW (positive signed area) ------
+    coords = node_positions[cell_nodes]
+    if dim == 2:
+        signed = shapes.volume(cell_shape, coords)
+        flipped = signed < 0
+        if flipped.any():
+            cell_nodes = cell_nodes.copy()
+            cell_nodes[flipped] = cell_nodes[flipped][:, ::-1]
+            coords = node_positions[cell_nodes]
+
+    # --- derive faces ------------------------------------------------------
+    local_faces = (
+        shapes.SHAPE_FACES_2D[cell_shape] if dim == 2 else shapes.SHAPE_FACES_3D[cell_shape]
+    )
+    npf = len(local_faces[0])
+    fpc = len(local_faces)
+    # (num_cells * fpc, npf) face node tuples in cell-local (outward) order.
+    raw = np.concatenate(
+        [cell_nodes[:, list(lf)] for lf in local_faces], axis=0
+    )  # grouped by local face id; cell of row r = r % num_cells
+    ncells = len(cell_nodes)
+    raw_cell = np.tile(np.arange(ncells), fpc)
+
+    key = np.sort(raw, axis=1)
+    uniq, first_idx, inverse, counts = np.unique(
+        key, axis=0, return_index=True, return_inverse=True, return_counts=True
+    )
+    nfaces = len(uniq)
+    if counts.max(initial=0) > 2:
+        raise StormError("non-manifold mesh: a face is shared by > 2 cells")
+
+    # inner cell = the cell that owns the first (outward-ordered) occurrence;
+    # face node order taken from that occurrence, so the derived normal
+    # points out of the inner cell (≙ _update_face_orientation,
+    # MeshUnstructured.hpp:509-554).
+    face_nodes = raw[first_idx]
+    face_cells = np.full((nfaces, 2), -1, dtype=np.int64)
+    face_cells[:, 0] = raw_cell[first_idx]
+    # outer cell: the second occurrence (stable sort by face id keeps
+    # original row order within each group, so starts[f] recovers the first
+    # occurrence and starts[f]+1 the second).
+    order = np.argsort(inverse, kind="stable")
+    sorted_inv = inverse[order]
+    sorted_cell = raw_cell[order]
+    starts = np.searchsorted(sorted_inv, np.arange(nfaces))
+    has_second = counts == 2
+    second_cells = sorted_cell[np.minimum(starts + 1, len(order) - 1)]
+    face_cells[:, 1] = np.where(has_second, second_cells, -1)
+
+    # --- labels --------------------------------------------------------------
+    face_labels = np.zeros(nfaces, dtype=np.int64)
+    is_boundary = ~has_second
+    face_labels[is_boundary] = 1
+    if boundary_face_labels:
+        keys = [tuple(t) for t in uniq]
+        for i, ktup in enumerate(keys):
+            lbl = boundary_face_labels.get(ktup)
+            if lbl is not None and is_boundary[i]:
+                face_labels[i] = max(int(lbl), 1)
+
+    # --- sort faces by label (stable), interior first ------------------------
+    perm = np.argsort(face_labels, kind="stable")
+    face_nodes = face_nodes[perm]
+    face_cells = face_cells[perm]
+    face_labels = face_labels[perm]
+    max_label = int(face_labels.max(initial=0))
+    ranges = np.searchsorted(face_labels, np.arange(max_label + 2))
+
+    # --- geometry -------------------------------------------------------------
+    cell_volumes = np.abs(shapes.volume(cell_shape, coords))
+    cell_centers = shapes.barycenter(cell_shape, coords)
+    fcoords = node_positions[face_nodes]
+    if dim == 2:
+        face_areas = shapes.volume(shapes.SEG, fcoords)
+        face_normals = shapes.face_normal_2d(fcoords)
+        face_centers = fcoords.mean(axis=1)
+    else:
+        face_areas = np.abs(shapes.volume(shapes.TRIANGLE, fcoords)) if npf == 3 else None
+        if face_areas is None:
+            raise StormError("3D non-triangle faces not yet grouped")
+        face_normals = shapes.face_normal_3d(fcoords)
+        face_centers = fcoords.mean(axis=1)
+
+    # Orientation check: normal must point inner → outer (or outward on the
+    # boundary).  Robust sign fix via center differences.
+    to_out = np.where(
+        (face_cells[:, 1] >= 0)[:, None],
+        cell_centers[face_cells[:, 1]] - cell_centers[face_cells[:, 0]],
+        face_centers - cell_centers[face_cells[:, 0]],
+    )
+    flip = np.einsum("fd,fd->f", face_normals, to_out) < 0
+    face_normals[flip] *= -1.0
+
+    return UnstructuredMesh(
+        dim=dim,
+        node_positions=node_positions,
+        cell_nodes=cell_nodes,
+        cell_shape=cell_shape,
+        face_nodes=face_nodes,
+        face_cells=face_cells,
+        face_labels=face_labels,
+        node_labels=None,
+        cell_volumes=cell_volumes,
+        cell_centers=cell_centers,
+        face_areas=face_areas,
+        face_normals=face_normals,
+        face_centers=face_centers,
+        face_label_ranges=ranges,
+    )

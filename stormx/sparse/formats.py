@@ -1,0 +1,286 @@
+"""Sparse matrix containers: CSR / COO / ELL / BSR, registered as pytrees.
+
+Reference counterpart: ``Utils/Table.hpp:125-254`` (``CsrTable``: row offsets +
+column values) — there it stores mesh adjacency; here the same layout carries
+operator nonzeros.  The TPU-first re-design adds:
+
+  * **ELL** (fixed nonzeros/row, padded): the *canonical device format*.
+    SpMV = ``(data * x[cols]).sum(1)`` — a single XLA gather plus a dense
+    reduction over the row axis.  No scatter appears anywhere, which matters
+    because TPU scatters serialize while gathers vectorize.  Padding entries
+    point at column 0 with weight 0.
+  * **BSR** (block ELL): dense b×b blocks so SpMV contracts on the MXU via
+    einsum.
+  * **CSR/COO**: host/assembly formats and the segment-sum correctness oracle.
+
+All containers are immutable dataclasses registered with jax.tree_util, so
+they can be closed over by jitted solvers, donated, and sharded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stormx.ops.segment import segment_sum
+
+__all__ = ["CSR", "COO", "ELL", "BSR", "csr_from_dense", "ell_from_csr", "bsr_from_csr"]
+
+
+def _register(cls, data_fields, meta_fields):
+    def flatten(obj):
+        return (
+            tuple(getattr(obj, f) for f in data_fields),
+            tuple(getattr(obj, f) for f in meta_fields),
+        )
+
+    def unflatten(meta, data):
+        kwargs = dict(zip(data_fields, data))
+        kwargs.update(zip(meta_fields, meta))
+        return cls(**kwargs)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@dataclass(frozen=True)
+class CSR:
+    """Compressed sparse row (reference ``CsrTable``, ``Utils/Table.hpp:125-190``)."""
+
+    data: jax.Array  # (nnz,)
+    indices: jax.Array  # (nnz,) int32 column ids
+    row_ptr: jax.Array  # (n_rows + 1,) int32 offsets
+    shape: tuple[int, int]
+
+    @property
+    def nnz(self) -> int:
+        return self.data.shape[0]
+
+    def row_ids(self) -> jax.Array:
+        """Expand row_ptr into per-nonzero row ids (COO row vector).
+
+        Pure-JAX (trace-safe): row of nnz j = #{i : row_ptr[i+1] ≤ j}.
+        """
+        j = jnp.arange(self.nnz, dtype=jnp.int32)
+        return jnp.searchsorted(self.row_ptr[1:], j, side="right").astype(jnp.int32)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """Segment-sum SpMV: the correctness oracle for the ELL fast path."""
+        vals = self.data * x[self.indices]
+        return segment_sum(vals, self.row_ids(), self.shape[0])
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def diagonal(self) -> jax.Array:
+        """Extract the main diagonal (missing entries → 0), for Jacobi."""
+        rid = self.row_ids()
+        is_diag = rid == self.indices
+        return segment_sum(
+            jnp.where(is_diag, self.data, 0.0), rid, self.shape[0]
+        )
+
+    def todense(self) -> jax.Array:
+        out = jnp.zeros(self.shape, dtype=self.data.dtype)
+        return out.at[self.row_ids(), self.indices].add(self.data)
+
+
+_register(CSR, ("data", "indices", "row_ptr"), ("shape",))
+
+
+@dataclass(frozen=True)
+class COO:
+    """Coordinate format — the assembly staging format."""
+
+    data: jax.Array  # (nnz,)
+    rows: jax.Array  # (nnz,) int32
+    cols: jax.Array  # (nnz,) int32
+    shape: tuple[int, int]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return segment_sum(self.data * x[self.cols], self.rows, self.shape[0])
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def to_csr(self) -> CSR:
+        rows = np.asarray(self.rows)
+        cols = np.asarray(self.cols)
+        data = np.asarray(self.data)
+        order = np.lexsort((cols, rows))
+        rows, cols, data = rows[order], cols[order], data[order]
+        # Sum duplicates.
+        key = rows.astype(np.int64) * self.shape[1] + cols
+        uniq, inv = np.unique(key, return_inverse=True)
+        summed = np.zeros(len(uniq), dtype=data.dtype)
+        np.add.at(summed, inv, data)
+        u_rows = (uniq // self.shape[1]).astype(np.int32)
+        u_cols = (uniq % self.shape[1]).astype(np.int32)
+        row_ptr = np.zeros(self.shape[0] + 1, dtype=np.int32)
+        np.add.at(row_ptr, u_rows + 1, 1)
+        row_ptr = np.cumsum(row_ptr, dtype=np.int32)
+        return CSR(
+            data=jnp.asarray(summed),
+            indices=jnp.asarray(u_cols),
+            row_ptr=jnp.asarray(row_ptr),
+            shape=self.shape,
+        )
+
+
+_register(COO, ("data", "rows", "cols"), ("shape",))
+
+
+@dataclass(frozen=True)
+class ELL:
+    """ELLPACK: fixed row width K — the canonical TPU SpMV format.
+
+    ``matvec`` compiles to gather + multiply + row-sum; XLA fuses the multiply
+    and reduction, leaving one gather as the only non-elementwise op.
+    """
+
+    data: jax.Array  # (n_rows, K)
+    cols: jax.Array  # (n_rows, K) int32; padding points at col 0 with data 0
+    shape: tuple[int, int]
+
+    @property
+    def row_width(self) -> int:
+        return self.data.shape[1]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        gathered = x[self.cols]  # (n, K) one XLA gather
+        return jnp.sum(self.data * gathered, axis=1)
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def diagonal(self) -> jax.Array:
+        n = self.shape[0]
+        rows = jnp.arange(n, dtype=self.cols.dtype)[:, None]
+        return jnp.sum(jnp.where(self.cols == rows, self.data, 0.0), axis=1)
+
+
+_register(ELL, ("data", "cols"), ("shape",))
+
+
+@dataclass(frozen=True)
+class BSR:
+    """Block-ELL with dense b×b blocks; SpMV contracts blocks on the MXU.
+
+    y[i·b:(i+1)·b] = Σₖ blocks[i,k] @ x[cols[i,k]·b : ...] — an einsum over
+    (n_block_rows, K, b, b) × gathered (n_block_rows, K, b).
+    """
+
+    blocks: jax.Array  # (n_brows, K, b, b)
+    cols: jax.Array  # (n_brows, K) int32 block-column ids
+    shape: tuple[int, int]  # scalar (unblocked) shape
+
+    @property
+    def block_size(self) -> int:
+        return self.blocks.shape[-1]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        b = self.block_size
+        n_brows = self.blocks.shape[0]
+        xb = x.reshape(-1, b)  # (n_bcols, b)
+        gathered = xb[self.cols]  # (n_brows, K, b)
+        out = jnp.einsum(
+            "rkij,rkj->ri",
+            self.blocks,
+            gathered,
+            preferred_element_type=x.dtype,
+        )
+        return out.reshape(n_brows * b)
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def diagonal_blocks(self) -> jax.Array:
+        """(n_brows, b, b) diagonal blocks (zeros where absent) for block-Jacobi."""
+        n_brows = self.blocks.shape[0]
+        rows = jnp.arange(n_brows, dtype=self.cols.dtype)[:, None]
+        mask = (self.cols == rows)[..., None, None]
+        return jnp.sum(jnp.where(mask, self.blocks, 0.0), axis=1)
+
+
+_register(BSR, ("blocks", "cols"), ("shape",))
+
+
+# ---------------------------------------------------------------------------
+# Host-side converters (NumPy; run once at setup).
+# ---------------------------------------------------------------------------
+
+
+def csr_from_dense(mat) -> CSR:
+    mat = np.asarray(mat)
+    n_rows, n_cols = mat.shape
+    rows, cols = np.nonzero(mat)
+    row_ptr = np.zeros(n_rows + 1, dtype=np.int32)
+    np.add.at(row_ptr, rows.astype(np.int32) + 1, 1)
+    row_ptr = np.cumsum(row_ptr, dtype=np.int32)
+    return CSR(
+        data=jnp.asarray(mat[rows, cols]),
+        indices=jnp.asarray(cols.astype(np.int32)),
+        row_ptr=jnp.asarray(row_ptr),
+        shape=(n_rows, n_cols),
+    )
+
+
+def ell_from_csr(csr: CSR, row_width: int | None = None) -> ELL:
+    """Pad CSR rows to a fixed width.  For FVM cell-adjacency operators the
+    natural width is maxdeg+1 (≤ 4 for triangles), so padding waste is tiny."""
+    row_ptr = np.asarray(csr.row_ptr)
+    indices = np.asarray(csr.indices)
+    data = np.asarray(csr.data)
+    n = csr.shape[0]
+    counts = np.diff(row_ptr)
+    K = int(row_width if row_width is not None else counts.max() if n else 0)
+    if counts.max(initial=0) > K:
+        raise ValueError(f"row_width {K} < max row nnz {counts.max()}")
+    cols = np.zeros((n, K), dtype=np.int32)
+    vals = np.zeros((n, K), dtype=data.dtype)
+    # Vectorized fill: position of each nnz within its row.
+    within = np.arange(len(indices)) - np.repeat(row_ptr[:-1], counts)
+    row_of = np.repeat(np.arange(n), counts)
+    cols[row_of, within] = indices
+    vals[row_of, within] = data
+    return ELL(data=jnp.asarray(vals), cols=jnp.asarray(cols), shape=csr.shape)
+
+
+def bsr_from_csr(csr: CSR, block_size: int, row_width: int | None = None) -> BSR:
+    """Aggregate a CSR matrix with block-structured sparsity into block-ELL.
+
+    Rows/cols must be a multiple of ``block_size``; any scalar nonzero lands
+    in its enclosing block (absent entries zero-filled).
+    """
+    b = block_size
+    n_rows, n_cols = csr.shape
+    if n_rows % b or n_cols % b:
+        raise ValueError("shape must be divisible by block_size")
+    row_ptr = np.asarray(csr.row_ptr)
+    indices = np.asarray(csr.indices)
+    data = np.asarray(csr.data)
+    counts = np.diff(row_ptr)
+    rows = np.repeat(np.arange(n_rows), counts)
+    brows, bcols = rows // b, indices // b
+    key = brows.astype(np.int64) * (n_cols // b) + bcols
+    uniq, inv = np.unique(key, return_inverse=True)
+    u_brows = (uniq // (n_cols // b)).astype(np.int64)
+    u_bcols = (uniq % (n_cols // b)).astype(np.int32)
+    # Per-block-row width.
+    per_row = np.bincount(u_brows, minlength=n_rows // b)
+    K = int(row_width if row_width is not None else per_row.max() if len(uniq) else 0)
+    if per_row.max(initial=0) > K:
+        raise ValueError(f"row_width {K} < max block row width {per_row.max()}")
+    slot_of_block = np.zeros(len(uniq), dtype=np.int64)
+    start = np.zeros(n_rows // b + 1, dtype=np.int64)
+    np.cumsum(per_row, out=start[1:])
+    slot_of_block = np.arange(len(uniq)) - start[u_brows]
+    blocks = np.zeros((n_rows // b, K, b, b), dtype=data.dtype)
+    cols = np.zeros((n_rows // b, K), dtype=np.int32)
+    cols[u_brows, slot_of_block] = u_bcols
+    blocks[u_brows[inv], slot_of_block[inv], rows % b, indices % b] += data
+    return BSR(blocks=jnp.asarray(blocks), cols=jnp.asarray(cols), shape=csr.shape)

@@ -1,0 +1,292 @@
+"""Krylov suite tests — the coverage the reference lacks (SURVEY §4 notes no
+solver unit tests exist upstream; convergence to tolerance against a direct
+solve is our oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import make_nonsym_matrix, make_spd_matrix
+from stormx.precond import BlockJacobiPreconditioner, JacobiPreconditioner
+from stormx.solvers import (
+    SolverOptions,
+    bicgstab,
+    bicgstab_l,
+    cg,
+    cgs,
+    fgmres,
+    gmres,
+    idrs,
+    jfnk,
+    make_operator,
+    newton,
+    richardson,
+    solve,
+    solve_non_uniform,
+    tfqmr,
+    tfqmr1,
+)
+from stormx.sparse import csr_from_dense, ell_from_csr
+
+N = 24
+TOL = SolverOptions(absolute_tolerance=1e-10, relative_tolerance=1e-10)
+
+
+@pytest.fixture
+def spd(rng):
+    a = make_spd_matrix(N, rng)
+    x_true = rng.standard_normal(N)
+    return jnp.asarray(a), jnp.asarray(a @ x_true), jnp.asarray(x_true)
+
+
+@pytest.fixture
+def nonsym(rng):
+    a = make_nonsym_matrix(N, rng)
+    x_true = rng.standard_normal(N)
+    return jnp.asarray(a), jnp.asarray(a @ x_true), jnp.asarray(x_true)
+
+
+def op_of(a):
+    return make_operator(lambda x: a @ x)
+
+
+SYM_SOLVERS = [cg, cgs, bicgstab, bicgstab_l, tfqmr, tfqmr1, idrs, gmres, fgmres]
+NONSYM_SOLVERS = [cgs, bicgstab, bicgstab_l, tfqmr, tfqmr1, idrs, gmres, fgmres]
+
+
+@pytest.mark.parametrize("solver", SYM_SOLVERS, ids=lambda s: s.__name__)
+def test_spd_convergence(solver, spd):
+    a, b, x_true = spd
+    res = solver(op_of(a), b, jnp.zeros(N), options=TOL)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, x_true, atol=1e-7)
+
+
+@pytest.mark.parametrize("solver", NONSYM_SOLVERS, ids=lambda s: s.__name__)
+def test_nonsym_convergence(solver, nonsym):
+    a, b, x_true = nonsym
+    res = solver(op_of(a), b, jnp.zeros(N), options=TOL)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, x_true, atol=1e-7)
+
+
+def test_richardson(rng):
+    # Richardson needs a well-scaled operator; use I + small perturbation.
+    a = jnp.eye(8) + 0.05 * jnp.asarray(rng.standard_normal((8, 8)))
+    x_true = jnp.asarray(rng.standard_normal(8))
+    b = a @ x_true
+    res = richardson(
+        op_of(a),
+        b,
+        jnp.zeros(8),
+        relaxation_factor=0.5,
+        options=SolverOptions(num_iterations=500, absolute_tolerance=1e-9,
+                              relative_tolerance=1e-9),
+    )
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, x_true, atol=1e-6)
+
+
+class TestStoppingSemantics:
+    def test_early_exit_zero_iterations(self, spd):
+        # Solver.hpp:124-128: already-converged initial guess runs 0 iterations.
+        a, b, x_true = spd
+        res = cg(op_of(a), b, x_true, options=TOL)
+        assert int(res.num_iterations) == 0
+        assert bool(res.converged)
+        np.testing.assert_allclose(res.x, x_true)
+
+    def test_iteration_cap(self, spd):
+        a, b, _ = spd
+        res = cg(
+            op_of(a),
+            b,
+            jnp.zeros(N),
+            options=SolverOptions(
+                num_iterations=2, absolute_tolerance=1e-30, relative_tolerance=1e-30
+            ),
+        )
+        assert int(res.num_iterations) == 2
+        assert not bool(res.converged)
+
+    def test_history_recorded(self, spd):
+        a, b, _ = spd
+        res = cg(op_of(a), b, jnp.zeros(N), options=TOL)
+        n = int(res.num_iterations)
+        hist = np.asarray(res.history)
+        assert np.isfinite(hist[: n + 1]).all()
+        assert np.isnan(hist[n + 1 :]).all()
+        # Monotone-ish decrease to convergence for CG on SPD.
+        assert hist[n] < hist[0]
+
+    def test_relative_tolerance_only(self, spd):
+        a, b, _ = spd
+        res = cg(
+            op_of(a),
+            b,
+            jnp.zeros(N),
+            options=SolverOptions(absolute_tolerance=0.0, relative_tolerance=1e-12),
+        )
+        assert bool(res.converged)
+        assert float(res.relative_error) < 1e-12
+
+
+class TestPreconditioning:
+    @pytest.mark.parametrize("solver", [cg, bicgstab, gmres, fgmres, cgs, tfqmr, idrs],
+                             ids=lambda s: s.__name__)
+    def test_jacobi(self, solver, spd):
+        a, b, x_true = spd
+        pre = JacobiPreconditioner(diag=jnp.diag(a))
+        res = solver(op_of(a), b, jnp.zeros(N), precond=pre, options=TOL)
+        assert bool(res.converged)
+        np.testing.assert_allclose(res.x, x_true, atol=1e-6)
+
+    @pytest.mark.parametrize("side", ["left", "right"])
+    @pytest.mark.parametrize("solver", [bicgstab, gmres, cgs, tfqmr, idrs],
+                             ids=lambda s: s.__name__)
+    def test_sides(self, solver, side, nonsym):
+        a, b, x_true = nonsym
+        pre = JacobiPreconditioner(diag=jnp.diag(a))
+        opts = SolverOptions(
+            absolute_tolerance=1e-10, relative_tolerance=1e-10, pre_side=side
+        )
+        res = solver(op_of(a), b, jnp.zeros(N), precond=pre, options=opts)
+        assert bool(res.converged)
+        np.testing.assert_allclose(res.x, x_true, atol=1e-6)
+
+    def test_jacobi_speeds_up_illconditioned(self, rng):
+        d = jnp.asarray(10.0 ** rng.uniform(0, 4, size=N))
+        a = jnp.diag(d) + 0.1 * jnp.eye(N)
+        b = jnp.asarray(rng.standard_normal(N))
+        plain = cg(op_of(a), b, jnp.zeros(N), options=TOL)
+        pre = cg(
+            op_of(a),
+            b,
+            jnp.zeros(N),
+            precond=JacobiPreconditioner(diag=jnp.diag(a)),
+            options=TOL,
+        )
+        assert int(pre.num_iterations) <= int(plain.num_iterations)
+
+    def test_block_jacobi(self, rng):
+        n, bs = 24, 3
+        a = make_spd_matrix(n, rng)
+        x_true = rng.standard_normal(n)
+        blocks = jnp.stack(
+            [jnp.asarray(a[i * bs : (i + 1) * bs, i * bs : (i + 1) * bs])
+             for i in range(n // bs)]
+        )
+        res = cg(
+            op_of(jnp.asarray(a)),
+            jnp.asarray(a @ x_true),
+            jnp.zeros(n),
+            precond=BlockJacobiPreconditioner(blocks=blocks),
+            options=TOL,
+        )
+        assert bool(res.converged)
+        np.testing.assert_allclose(res.x, x_true, atol=1e-6)
+
+
+class TestGmresRestart:
+    def test_restart_smaller_than_dim(self, nonsym):
+        a, b, x_true = nonsym
+        res = gmres(op_of(a), b, jnp.zeros(N), restart=5, options=TOL)
+        assert bool(res.converged)
+        np.testing.assert_allclose(res.x, x_true, atol=1e-6)
+
+    def test_no_restart_exact_in_n(self, nonsym):
+        a, b, x_true = nonsym
+        res = gmres(op_of(a), b, jnp.zeros(N), restart=N + 1, options=TOL)
+        assert int(res.num_iterations) <= N + 1
+        np.testing.assert_allclose(res.x, x_true, atol=1e-6)
+
+
+class TestSparseOperators:
+    def test_cg_on_ell(self, rng):
+        a = make_spd_matrix(N, rng)
+        a[np.abs(a) < 0.5] = 0.0
+        a = a + a.T + 2 * N * np.eye(N)  # keep SPD after sparsification
+        ell = ell_from_csr(csr_from_dense(a))
+        x_true = rng.standard_normal(N)
+        b = jnp.asarray(a @ x_true)
+        res = cg(ell, b, jnp.zeros(N), options=TOL)
+        assert bool(res.converged)
+        np.testing.assert_allclose(res.x, x_true, atol=1e-7)
+
+
+class TestNonlinear:
+    def test_jfnk_nonlinear(self, rng):
+        # A(x) = L x + x³ elementwise, L SPD — reference config #4 analog.
+        L = jnp.asarray(make_spd_matrix(10, rng) / 10)
+
+        def A(x):
+            return L @ x + x**3
+
+        x_true = jnp.asarray(rng.standard_normal(10) * 0.5)
+        b = A(x_true)
+        res = jfnk(A, b, jnp.zeros(10),
+                   options=SolverOptions(absolute_tolerance=1e-9,
+                                         relative_tolerance=1e-9))
+        assert bool(res.converged)
+        np.testing.assert_allclose(res.x, x_true, atol=1e-6)
+
+    def test_newton_autodiff(self, rng):
+        L = jnp.asarray(make_spd_matrix(10, rng) / 10)
+
+        def A(x):
+            return L @ x + jnp.tanh(x)
+
+        x_true = jnp.asarray(rng.standard_normal(10) * 0.3)
+        b = A(x_true)
+        res = newton(A, b, jnp.zeros(10),
+                     options=SolverOptions(absolute_tolerance=1e-10,
+                                           relative_tolerance=1e-10))
+        assert bool(res.converged)
+        np.testing.assert_allclose(res.x, x_true, atol=1e-7)
+
+
+class TestApi:
+    def test_solve_dispatch(self, spd):
+        a, b, x_true = spd
+        res = solve(op_of(a), b, method="cg", options=TOL)
+        np.testing.assert_allclose(res.x, x_true, atol=1e-7)
+
+    def test_solve_unknown_method(self, spd):
+        a, b, _ = spd
+        with pytest.raises(ValueError):
+            solve(op_of(a), b, method="nope")
+
+    def test_solve_non_uniform(self, spd):
+        a, b, x_true = spd
+        shift = jnp.ones(N)
+        affine = make_operator(lambda x: a @ x + shift)  # 𝓐(0) = shift ≠ 0
+        res = solve_non_uniform(affine, b + shift, jnp.zeros(N), method="cg",
+                                options=TOL)
+        np.testing.assert_allclose(res.x, x_true, atol=1e-7)
+
+    def test_jit_whole_solve(self, spd):
+        a, b, x_true = spd
+
+        @jax.jit
+        def run(b):
+            return cg(op_of(a), b, jnp.zeros(N), options=TOL).x
+
+        np.testing.assert_allclose(run(b), x_true, atol=1e-7)
+
+    def test_pytree_vectors(self, rng):
+        # Solve a block system over a dict-structured vector.
+        a1 = jnp.asarray(make_spd_matrix(6, rng))
+        a2 = jnp.asarray(make_spd_matrix(4, rng))
+
+        def A(x):
+            return {"u": a1 @ x["u"], "w": a2 @ x["w"]}
+
+        x_true = {"u": jnp.asarray(rng.standard_normal(6)),
+                  "w": jnp.asarray(rng.standard_normal(4))}
+        b = A(x_true)
+        x0 = {"u": jnp.zeros(6), "w": jnp.zeros(4)}
+        res = cg(A, b, x0, options=TOL)
+        assert bool(res.converged)
+        np.testing.assert_allclose(res.x["u"], x_true["u"], atol=1e-7)
+        np.testing.assert_allclose(res.x["w"], x_true["w"], atol=1e-7)

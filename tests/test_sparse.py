@@ -1,0 +1,129 @@
+"""Sparse format tests: CSR/COO/ELL/BSR round trips and SpMV agreement."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stormx.sparse import BSR, COO, CSR, ELL, bsr_from_csr, csr_from_dense, ell_from_csr
+
+
+@pytest.fixture
+def dense(rng):
+    a = rng.standard_normal((12, 12))
+    a[rng.random((12, 12)) < 0.6] = 0.0
+    np.fill_diagonal(a, np.arange(1.0, 13.0))
+    return a
+
+
+class TestCSR:
+    def test_matvec(self, dense, rng):
+        csr = csr_from_dense(dense)
+        x = rng.standard_normal(12)
+        np.testing.assert_allclose(csr @ jnp.asarray(x), dense @ x, rtol=1e-12)
+
+    def test_diagonal(self, dense):
+        csr = csr_from_dense(dense)
+        np.testing.assert_allclose(csr.diagonal(), np.diag(dense))
+
+    def test_todense(self, dense):
+        csr = csr_from_dense(dense)
+        np.testing.assert_allclose(csr.todense(), dense)
+
+
+class TestELL:
+    def test_matvec_matches_csr(self, dense, rng):
+        csr = csr_from_dense(dense)
+        ell = ell_from_csr(csr)
+        x = jnp.asarray(rng.standard_normal(12))
+        np.testing.assert_allclose(ell @ x, csr @ x, rtol=1e-12)
+
+    def test_padded_width(self, dense, rng):
+        csr = csr_from_dense(dense)
+        ell = ell_from_csr(csr, row_width=csr_max_width(csr) + 3)
+        x = jnp.asarray(rng.standard_normal(12))
+        np.testing.assert_allclose(ell @ x, dense @ np.asarray(x), rtol=1e-12)
+
+    def test_diagonal(self, dense):
+        ell = ell_from_csr(csr_from_dense(dense))
+        np.testing.assert_allclose(ell.diagonal(), np.diag(dense))
+
+
+class TestCOO:
+    def test_matvec_and_to_csr(self, dense, rng):
+        rows, cols = np.nonzero(dense)
+        coo = COO(
+            data=jnp.asarray(dense[rows, cols]),
+            rows=jnp.asarray(rows.astype(np.int32)),
+            cols=jnp.asarray(cols.astype(np.int32)),
+            shape=dense.shape,
+        )
+        x = jnp.asarray(rng.standard_normal(12))
+        np.testing.assert_allclose(coo @ x, dense @ np.asarray(x), rtol=1e-12)
+        np.testing.assert_allclose(coo.to_csr() @ x, dense @ np.asarray(x), rtol=1e-12)
+
+    def test_duplicate_sum(self):
+        coo = COO(
+            data=jnp.array([1.0, 2.0, 5.0]),
+            rows=jnp.array([0, 0, 1], dtype=jnp.int32),
+            cols=jnp.array([1, 1, 0], dtype=jnp.int32),
+            shape=(2, 2),
+        )
+        csr = coo.to_csr()
+        np.testing.assert_allclose(csr.todense(), [[0.0, 3.0], [5.0, 0.0]])
+
+
+class TestBSR:
+    def test_matvec(self, rng):
+        n, b = 12, 3
+        dense = np.zeros((n, n))
+        # Block-sparse pattern.
+        for bi in range(n // b):
+            for bj in range(n // b):
+                if bi == bj or rng.random() < 0.4:
+                    dense[bi * b : (bi + 1) * b, bj * b : (bj + 1) * b] = (
+                        rng.standard_normal((b, b))
+                    )
+        csr = csr_from_dense(dense + np.eye(n) * 1e-12)  # keep diagonal blocks present
+        bsr = bsr_from_csr(csr, block_size=b)
+        x = jnp.asarray(rng.standard_normal(n))
+        np.testing.assert_allclose(bsr @ x, dense @ np.asarray(x), atol=1e-10)
+
+    def test_diagonal_blocks(self, rng):
+        n, b = 6, 2
+        dense = rng.standard_normal((n, n))
+        bsr = bsr_from_csr(csr_from_dense(dense), block_size=b)
+        blocks = bsr.diagonal_blocks()
+        for i in range(n // b):
+            np.testing.assert_allclose(
+                blocks[i], dense[i * b : (i + 1) * b, i * b : (i + 1) * b]
+            )
+
+
+def csr_max_width(csr):
+    return int(np.diff(np.asarray(csr.row_ptr)).max())
+
+
+class TestPytreeRegistration:
+    def test_jit_through_csr(self, dense, rng):
+        import jax
+
+        csr = csr_from_dense(dense)
+        x = jnp.asarray(rng.standard_normal(12))
+
+        @jax.jit
+        def f(mat, x):
+            return mat @ x
+
+        np.testing.assert_allclose(f(csr, x), dense @ np.asarray(x), rtol=1e-12)
+
+    def test_jit_through_ell(self, dense, rng):
+        import jax
+
+        ell = ell_from_csr(csr_from_dense(dense))
+        x = jnp.asarray(rng.standard_normal(12))
+
+        @jax.jit
+        def f(mat, x):
+            return mat @ x
+
+        np.testing.assert_allclose(f(ell, x), dense @ np.asarray(x), rtol=1e-12)
