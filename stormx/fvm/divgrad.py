@@ -1,0 +1,86 @@
+"""Two-point flux div-grad operator — the Cahn–Hilliard building block.
+
+Reference: ``stormDivGrad`` (``source_apps/playground/Playground.cpp:116-131``):
+
+    for each interior face:
+        flux = dt·(c[outer] − c[inner]) / ‖center_outer − center_inner‖
+        u[inner] += (area/vol_inner)·flux
+        u[outer] −= (area/vol_outer)·flux
+
+TPU-native formulation: the per-face flux is one vectorized gather pass, and
+the per-cell accumulation uses the cell←face ELL incidence table — a second
+gather — so **no scatter** appears (SURVEY §7 hard-part 1: TPU gathers
+vectorize, scatters serialize).  The same code path doubles as the SpMV of
+the implicitly-assembled weighted-Laplacian; ``assemble_divgrad`` produces
+the equivalent explicit ELL matrix for preconditioning/benchmarks.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from stormx.ops import safe_divide
+
+__all__ = ["div_grad", "face_flux_coefficients", "assemble_divgrad"]
+
+
+def face_flux_coefficients(dmesh):
+    """Per-face coefficient area/dist for interior faces, 0 on boundary."""
+    return safe_divide(dmesh.face_areas, dmesh.face_dist)
+
+
+def div_grad(dmesh, u, dt, c):
+    """u += dt·∇·(∇c) in the reference's discrete form (no-flux boundary).
+
+    ``u``/``c`` are cell fields ``(num_cells,)`` or ``(num_cells, nv)``.
+    """
+    coef = face_flux_coefficients(dmesh)  # (num_faces,)
+    c_inner = c[dmesh.face_inner]
+    c_outer = c[jnp.maximum(dmesh.face_outer, 0)]  # clamp; coef=0 on boundary
+    diff = c_outer - c_inner
+    flux = dt * coef[..., None] * diff if c.ndim == 2 else dt * coef * diff
+
+    # Gather-accumulate: Σ_k sign·flux[face_k] / volume.
+    g = flux[dmesh.cell_face_ell]  # (num_cells, K[, nv])
+    sgn = dmesh.cell_face_sign
+    vol = dmesh.cell_volumes
+    if c.ndim == 2:
+        acc = jnp.sum(sgn[..., None] * g, axis=1) / vol[:, None]
+    else:
+        acc = jnp.sum(sgn * g, axis=1) / vol
+    return u + acc
+
+
+def assemble_divgrad(mesh, scale=1.0):
+    """Explicitly assemble the div-grad operator as an ELL matrix.
+
+    Row i: Σ_f (area_f/dist_f)·(c_adj − c_i)·scale / vol_i — symmetric up to
+    the volume weighting; with unit volumes it is the graph Laplacian.
+    Host-side (NumPy), returns :class:`stormx.sparse.ELL`.
+    """
+    from stormx.sparse import COO
+
+    interior = mesh.interior_faces()
+    inner = mesh.face_cells[interior, 0]
+    outer = mesh.face_cells[interior, 1]
+    dist = np.linalg.norm(
+        mesh.cell_centers[outer] - mesh.cell_centers[inner], axis=1
+    )
+    w = scale * mesh.face_areas[interior] / dist
+
+    vol = mesh.cell_volumes
+    rows = np.concatenate([inner, outer, inner, outer])
+    cols = np.concatenate([outer, inner, inner, outer])
+    data = np.concatenate(
+        [w / vol[inner], w / vol[outer], -w / vol[inner], -w / vol[outer]]
+    )
+    coo = COO(
+        data=jnp.asarray(data),
+        rows=jnp.asarray(rows.astype(np.int32)),
+        cols=jnp.asarray(cols.astype(np.int32)),
+        shape=(mesh.num_cells, mesh.num_cells),
+    )
+    from stormx.sparse import ell_from_csr
+
+    return ell_from_csr(coo.to_csr())

@@ -1,0 +1,3 @@
+from stormx.io.vtk import write_vtk
+
+__all__ = ["write_vtk"]

@@ -109,22 +109,36 @@ class UnstructuredMesh:
         interior = self.interior_faces()
         boundary = self.boundary_faces()
 
-        # Cell ← face incidence (ELL): for each cell, its incident interior
-        # faces and ±1 signs (+ if the cell is the face's inner cell).  This
-        # turns div-flux accumulation into a gather: no scatter on device.
+        # Cell ← face incidence (ELL): for each cell, ALL its incident faces
+        # and ±1 signs (+ when the cell is the face's inner cell; boundary
+        # faces contribute + to their inner cell only).  This single table
+        # turns every div-flux accumulation into a gather: no scatter on
+        # device (≙ the face loops of ConvectionScheme.hpp:155-195 and
+        # Playground.cpp:116-131; the limiter's face loop uses sign ≠ 0 as
+        # its validity mask, GradientLimiterScheme.hpp:236-244).
         inner = self.face_cells[interior, 0]
         outer = self.face_cells[interior, 1]
-        pairs_cell = np.concatenate([inner, outer])
-        pairs_face = np.concatenate([interior, interior]).astype(np.int64)
+        has_outer = self.face_cells[:, 1] >= 0
+        pairs_cell = np.concatenate(
+            [self.face_cells[:, 0], self.face_cells[has_outer, 1]]
+        )
+        pairs_face = np.concatenate(
+            [np.arange(self.num_faces), np.nonzero(has_outer)[0]]
+        )
+        pairs_adj_cell = np.concatenate(
+            [
+                np.where(has_outer, self.face_cells[:, 1], self.face_cells[:, 0]),
+                self.face_cells[has_outer, 0],
+            ]
+        )
         pairs_sign = np.concatenate(
-            [np.ones(len(interior)), -np.ones(len(interior))]
+            [np.ones(self.num_faces), -np.ones(int(has_outer.sum()))]
         )
         order = np.argsort(pairs_cell, kind="stable")
-        pairs_cell, pairs_face, pairs_sign = (
-            pairs_cell[order],
-            pairs_face[order],
-            pairs_sign[order],
-        )
+        pairs_cell = pairs_cell[order]
+        pairs_face = pairs_face[order]
+        pairs_sign = pairs_sign[order]
+        pairs_adj_cell = pairs_adj_cell[order]
         counts = np.bincount(pairs_cell, minlength=self.num_cells)
         K = int(counts.max()) if len(counts) else 0
         starts = np.zeros(self.num_cells + 1, dtype=np.int64)
@@ -135,41 +149,16 @@ class UnstructuredMesh:
         cf_face[pairs_cell, within] = pairs_face
         cf_sign[pairs_cell, within] = pairs_sign
 
-        # Cell → adjacent-cell ELL (via interior faces), padded with self —
-        # the ``cell.for_each_cell`` adjacency of the reference
+        # Cell → adjacent-cell ELL, padded with self (boundary slots also map
+        # to self) — the ``cell.for_each_cell`` adjacency of the reference
         # (``Mallard/Mesh.hpp:300-306``) used by LSQ gradients and limiters.
-        pairs_adj = np.concatenate([outer, inner])[order]
         cell_adj = np.tile(np.arange(self.num_cells, dtype=idt)[:, None], (1, K))
-        cell_adj[pairs_cell, within] = pairs_adj
-        # Interior-face distance between adjacent cell centers and the
-        # two-point-flux coefficient area/dist (≙ Playground.cpp:126-127).
+        cell_adj[pairs_cell, within] = pairs_adj_cell
+        # Interior-face distance between adjacent cell centers — the
+        # two-point-flux denominator (≙ Playground.cpp:126-127).
         d = self.cell_centers[outer] - self.cell_centers[inner]
         face_dist = np.zeros(self.num_faces)
         face_dist[interior] = np.linalg.norm(d, axis=1)
-
-        # Cell → all incident faces (incl. boundary) ELL, with validity mask —
-        # ``cell.for_each_face`` for the limiter's face loop
-        # (``GradientLimiterScheme.hpp:236-244``).
-        af_cell = np.concatenate(
-            [self.face_cells[:, 0], self.face_cells[self.face_cells[:, 1] >= 0, 1]]
-        )
-        af_face = np.concatenate(
-            [
-                np.arange(self.num_faces),
-                np.nonzero(self.face_cells[:, 1] >= 0)[0],
-            ]
-        )
-        order2 = np.argsort(af_cell, kind="stable")
-        af_cell, af_face = af_cell[order2], af_face[order2]
-        counts2 = np.bincount(af_cell, minlength=self.num_cells)
-        Kf = int(counts2.max()) if len(counts2) else 0
-        starts2 = np.zeros(self.num_cells + 1, dtype=np.int64)
-        np.cumsum(counts2, out=starts2[1:])
-        within2 = np.arange(len(af_cell)) - starts2[af_cell]
-        cell_all_faces = np.zeros((self.num_cells, Kf), dtype=idt)
-        cell_all_mask = np.zeros((self.num_cells, Kf), dtype=bool)
-        cell_all_faces[af_cell, within2] = af_face
-        cell_all_mask[af_cell, within2] = True
 
         return DeviceMesh(
             dim=self.dim,
@@ -188,8 +177,6 @@ class UnstructuredMesh:
             cell_face_ell=jnp.asarray(cf_face),
             cell_face_sign=jnp.asarray(cf_sign, dtype=dtype),
             cell_adj_ell=jnp.asarray(cell_adj),
-            cell_all_faces=jnp.asarray(cell_all_faces),
-            cell_all_faces_mask=jnp.asarray(cell_all_mask),
             face_dist=jnp.asarray(face_dist, dtype=dtype),
         )
 
@@ -211,11 +198,9 @@ class DeviceMesh:
     face_areas: object  # (num_faces,)
     face_normals: object  # (num_faces, dim), inner → outer
     face_centers: object  # (num_faces, dim)
-    cell_face_ell: object  # (num_cells, K) int32 face ids (gather table)
-    cell_face_sign: object  # (num_cells, K) ±1 / 0 padding
+    cell_face_ell: object  # (num_cells, K) int32: ALL incident faces (pad→0)
+    cell_face_sign: object  # (num_cells, K) +1 inner / −1 outer / 0 padding
     cell_adj_ell: object  # (num_cells, K) int32 adjacent cells (pad = self)
-    cell_all_faces: object  # (num_cells, Kf) int32 all incident faces
-    cell_all_faces_mask: object  # (num_cells, Kf) bool validity
     face_dist: object  # (num_faces,) |center_outer − center_inner| (0 on bdry)
 
 
@@ -235,8 +220,6 @@ def _register_device_mesh():
         "cell_face_ell",
         "cell_face_sign",
         "cell_adj_ell",
-        "cell_all_faces",
-        "cell_all_faces_mask",
         "face_dist",
     )
     meta = ("dim", "num_cells", "num_faces", "face_label_ranges")

@@ -1,0 +1,292 @@
+"""FVM scheme tests: div_grad oracle vs serial reference loop, gradients on
+linear fields, limiter bounds, flux consistency, Euler conservation, and the
+Cahn–Hilliard step."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stormx.fvm import (
+    FvSolver,
+    assemble_divgrad,
+    compute_limiters,
+    cubic_limiter,
+    div_grad,
+    dummy_second_limiter,
+    far_field_bc,
+    hll_flux,
+    lax_friedrichs_flux,
+    lsq_gradients,
+    minmod_limiter,
+    slip_bc,
+    state_from_cons,
+    state_from_prim,
+    upwind_convection,
+    venkatakrishnan_limiter,
+)
+from stormx.mesh import build_mesh
+
+
+def structured_tri_mesh(nx=8, ny=8):
+    """[0,1]² split into 2·nx·ny CCW triangles."""
+    xs = np.linspace(0, 1, nx + 1)
+    ys = np.linspace(0, 1, ny + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    nodes = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def nid(i, j):
+        return i * (ny + 1) + j
+
+    cells = []
+    for i in range(nx):
+        for j in range(ny):
+            a, b, c, d = nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)
+            cells.append([a, b, c])
+            cells.append([a, c, d])
+    return build_mesh(nodes, np.asarray(cells))
+
+
+@pytest.fixture(scope="module")
+def tri_mesh():
+    return structured_tri_mesh()
+
+
+@pytest.fixture(scope="module")
+def dmesh(tri_mesh):
+    return tri_mesh.device_arrays()
+
+
+def reference_div_grad(mesh, u, dt, c):
+    """Direct transcription of stormDivGrad's serial face loop
+    (Playground.cpp:116-131) — the correctness oracle."""
+    u = np.array(u, dtype=float)
+    for f in mesh.interior_faces():
+        ci, co = mesh.face_cells[f]
+        dist = np.linalg.norm(mesh.cell_centers[co] - mesh.cell_centers[ci])
+        flux = dt * (c[co] - c[ci]) / dist
+        u[ci] += (mesh.face_areas[f] / mesh.cell_volumes[ci]) * flux
+        u[co] -= (mesh.face_areas[f] / mesh.cell_volumes[co]) * flux
+    return u
+
+
+class TestDivGrad:
+    def test_matches_serial_reference(self, tri_mesh, dmesh, rng):
+        c = rng.standard_normal(tri_mesh.num_cells)
+        u = rng.standard_normal(tri_mesh.num_cells)
+        got = div_grad(dmesh, jnp.asarray(u), 0.37, jnp.asarray(c))
+        want = reference_div_grad(tri_mesh, u, 0.37, c)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_constant_field_zero(self, dmesh):
+        c = jnp.ones(dmesh.num_cells)
+        u = jnp.zeros(dmesh.num_cells)
+        np.testing.assert_allclose(div_grad(dmesh, u, 1.0, c), 0.0, atol=1e-14)
+
+    def test_conservation(self, tri_mesh, dmesh, rng):
+        # Σ_i vol_i · (div_grad contribution) = 0 (telescoping fluxes).
+        c = jnp.asarray(rng.standard_normal(tri_mesh.num_cells))
+        u = div_grad(dmesh, jnp.zeros(dmesh.num_cells), 1.0, c)
+        total = jnp.sum(u * dmesh.cell_volumes)
+        np.testing.assert_allclose(total, 0.0, atol=1e-10)
+
+    def test_assembled_matches_matrix_free(self, tri_mesh, dmesh, rng):
+        ell = assemble_divgrad(tri_mesh)
+        c = jnp.asarray(rng.standard_normal(tri_mesh.num_cells))
+        mf = div_grad(dmesh, jnp.zeros(dmesh.num_cells), 1.0, c)
+        np.testing.assert_allclose(ell @ c, mf, rtol=1e-10, atol=1e-12)
+
+    def test_spd_negative_semidefinite(self, tri_mesh, rng):
+        # −div_grad (volume-weighted) is SPD on the constant-orthogonal
+        # complement — the property CG relies on.
+        ell = assemble_divgrad(tri_mesh)
+        c = rng.standard_normal(tri_mesh.num_cells)
+        c -= c.mean()
+        quad = float(
+            jnp.sum(jnp.asarray(c) * (ell @ jnp.asarray(c)) *
+                    jnp.asarray(tri_mesh.cell_volumes))
+        )
+        assert quad < 0
+
+
+class TestGradients:
+    def test_linear_field_exact(self, tri_mesh, dmesh):
+        # ∇(2x + 3y) = (2, 3) exactly for LSQ on interior cells.
+        centers = np.asarray(dmesh.cell_centers)
+        u = jnp.asarray(2.0 * centers[:, 0] + 3.0 * centers[:, 1])
+        grad = np.asarray(lsq_gradients(dmesh, u))
+        interior_cells = np.unique(
+            tri_mesh.face_cells[tri_mesh.interior_faces()].ravel()
+        )
+        # Cells whose full stencil is interior get the exact gradient.
+        boundary_cells = set(tri_mesh.face_cells[tri_mesh.boundary_faces(), 0])
+        good = [c for c in interior_cells if c not in boundary_cells]
+        np.testing.assert_allclose(grad[good, 0], 2.0, atol=1e-9)
+        np.testing.assert_allclose(grad[good, 1], 3.0, atol=1e-9)
+
+    def test_multivar(self, dmesh, rng):
+        u = jnp.asarray(rng.standard_normal((dmesh.num_cells, 5)))
+        g = lsq_gradients(dmesh, u)
+        assert g.shape == (dmesh.num_cells, 5, 2)
+
+
+class TestLimiters:
+    @pytest.mark.parametrize(
+        "lim", [minmod_limiter, venkatakrishnan_limiter, cubic_limiter]
+    )
+    def test_bounds(self, lim, rng):
+        du_min = -np.abs(rng.standard_normal(100))
+        du_max = np.abs(rng.standard_normal(100))
+        du_face = rng.standard_normal(100)
+        eps = np.full(100, 1e-6)
+        out = np.asarray(lim(du_min, du_max, du_face, eps))
+        assert np.isfinite(out).all()
+        assert (out >= -1e-12).all()
+
+    @pytest.mark.parametrize(
+        "lim", [minmod_limiter, venkatakrishnan_limiter, cubic_limiter]
+    )
+    def test_zero_face_delta_unlimited(self, lim):
+        out = lim(jnp.array(-1.0), jnp.array(1.0), jnp.array(0.0), jnp.array(1e-6))
+        np.testing.assert_allclose(out, 1.0)
+
+    def test_matches_serial_reference(self, tri_mesh, dmesh, rng):
+        """Parity with a direct transcription of GradientLimiterScheme's
+        cell loop (GradientLimiterScheme.hpp:213-250) using the cubic
+        slope limiter + cubic second limiter (the MhdFvSolverT config)."""
+        u = rng.standard_normal(tri_mesh.num_cells)
+        grad = np.asarray(lsq_gradients(dmesh, jnp.asarray(u)))
+
+        # Serial oracle.
+        mesh = tri_mesh
+        adj = [[] for _ in range(mesh.num_cells)]
+        cell_faces = [[] for _ in range(mesh.num_cells)]
+        for f in range(mesh.num_faces):
+            ci, co = mesh.face_cells[f]
+            cell_faces[ci].append(f)
+            if co >= 0:
+                cell_faces[co].append(f)
+                adj[ci].append(co)
+                adj[co].append(ci)
+
+        def cubic(du_min, du_max, du_face):
+            if du_face < 0:
+                dp = du_min
+            elif du_face > 0:
+                dp = du_max
+            else:
+                return 1.0
+            y = dp / du_face
+            y_thr = 1.75
+            if y < y_thr:
+                yd = y / y_thr
+                return y + yd**2 * (3.0 - 2.0 * y_thr + (y_thr - 2.0) * yd)
+            return 1.0
+
+        def cubic2(lim, du_min, du_max, eps_sqr):
+            du_sqr = (du_max - du_min) ** 2
+            if du_sqr <= eps_sqr:
+                return 1.0
+            if du_sqr >= 2.0 * eps_sqr:
+                return lim
+            dy = (du_sqr - eps_sqr) / eps_sqr
+            w = (2.0 * dy - 3.0) * dy**2 + 1.0
+            return w + (1.0 - w) * lim
+
+        want = np.ones(mesh.num_cells)
+        for c in range(mesh.num_cells):
+            du_min = min([u[a] for a in adj[c]] + [u[c]]) - u[c]
+            du_max = max([u[a] for a in adj[c]] + [u[c]]) - u[c]
+            du_min, du_max = min(0.0, du_min), max(0.0, du_max)
+            eps_sqr = (0.1 * mesh.cell_volumes[c]) ** 3
+            lim = 1.0
+            for f in cell_faces[c]:
+                dr = mesh.face_centers[f] - mesh.cell_centers[c]
+                du_face = float(grad[c] @ dr)
+                lim = min(lim, cubic(du_min, du_max, du_face))
+            want[c] = cubic2(lim, du_min, du_max, eps_sqr)
+
+        got = np.asarray(
+            compute_limiters(dmesh, jnp.asarray(u), jnp.asarray(grad))
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+class TestHydro:
+    def test_cons_prim_roundtrip(self, rng):
+        prim = jnp.asarray(
+            np.abs(rng.standard_normal((32, 5))) + np.array([1.0, 1.0, 0, 0, 0])
+        )
+        n = jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (32, 1))
+        st = state_from_prim(n, prim)
+        st2 = state_from_cons(n, st.make_cons())
+        np.testing.assert_allclose(st2.rho, st.rho, rtol=1e-12)
+        np.testing.assert_allclose(st2.p, st.p, rtol=1e-10)
+        np.testing.assert_allclose(st2.vel, st.vel, rtol=1e-12)
+
+    def test_flux_consistency(self, rng):
+        # F(u, u) must equal the exact flux of u for both schemes.
+        prim = jnp.asarray([[1.0, 1.0, 0.5, 0.2, 0.0]])
+        n = jnp.asarray([[0.6, 0.8]])
+        st = state_from_prim(n, prim)
+        cons = st.make_cons()
+        exact = st.make_flux(jnp.asarray([[0.6, 0.8, 0.0]]))
+        for scheme in (lax_friedrichs_flux, hll_flux):
+            np.testing.assert_allclose(scheme(n, cons, cons), exact, atol=1e-12)
+
+
+class TestConvection:
+    def test_uniform_state_zero_divergence(self, dmesh):
+        # Uniform flow + slip/far-field walls ⇒ zero interior residual for
+        # far-field BCs (ghost = interior ⇒ flux balance).
+        from stormx.apps.euler import initial_state
+
+        u = initial_state(dmesh.num_cells)
+        div_f = upwind_convection(dmesh, u, {1: far_field_bc})
+        np.testing.assert_allclose(np.asarray(div_f)[:, 0], 0.0, atol=1e-10)
+
+    def test_solver_step_shapes(self, dmesh):
+        from stormx.apps.euler import initial_state
+
+        u = initial_state(dmesh.num_cells)
+        for order in (1, 2):
+            sol = FvSolver(dmesh, order=order, bcs={1: far_field_bc})
+            u2 = sol.step(u, 1e-4)
+            assert u2.shape == u.shape
+            assert bool(jnp.isfinite(u2).all())
+
+    def test_mass_conservation_slip_walls(self, dmesh, rng):
+        # With slip walls (no mass flux through boundary), total mass is
+        # conserved by the forward-Euler step.
+        from stormx.apps.euler import initial_state
+
+        u = initial_state(dmesh.num_cells)
+        # Perturb density smoothly.
+        centers = np.asarray(dmesh.cell_centers)
+        u = u.at[:, 0].mul(1.0 + 0.1 * jnp.asarray(np.sin(2 * np.pi * centers[:, 0])))
+        sol = FvSolver(dmesh, order=1, bcs={1: slip_bc})
+        vols = dmesh.cell_volumes
+        m0 = float(jnp.sum(u[:, 0] * vols))
+        u2 = sol.step(u, 1e-4)
+        m1 = float(jnp.sum(u2[:, 0] * vols))
+        np.testing.assert_allclose(m1, m0, rtol=1e-12)
+
+
+class TestCahnHilliard:
+    def test_step_runs_and_bounded(self, dmesh, rng):
+        from stormx.apps.cahn_hilliard import make_step
+
+        from stormx.solvers import SolverOptions
+
+        c0 = jnp.asarray(rng.random(dmesh.num_cells))
+        step = make_step(
+            dmesh,
+            options=SolverOptions(absolute_tolerance=1e-10, relative_tolerance=1e-10),
+        )
+        c1, res = step(c0)
+        assert bool(res.converged)
+        assert bool(jnp.isfinite(c1).all())
+        # Mass conservation of the CH step (no-flux boundary).
+        vols = dmesh.cell_volumes
+        np.testing.assert_allclose(
+            float(jnp.sum(c1 * vols)), float(jnp.sum(c0 * vols)), rtol=1e-8
+        )
