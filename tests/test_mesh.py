@@ -131,17 +131,23 @@ class TestBuildMesh:
 
 
 class TestDeviceArrays:
-    def test_cell_face_ell_roundtrip(self, unit_square_two_tris):
+    def test_cell_face_ell_signs(self, unit_square_two_tris):
         import jax.numpy as jnp
 
         m = unit_square_two_tris
         dm = m.device_arrays()
-        # div·(area·n) via the gather table must also vanish per cell
-        # (only interior faces enter the table; boundary handled separately).
-        flux = jnp.asarray(m.face_areas)  # fake per-face flux
-        per_cell = (flux[dm.cell_face_ell] * dm.cell_face_sign).sum(axis=1)
-        # Interior contribution for cell0 = +a_diag, cell1 = −a_diag.
+        # A flux that vanishes on the boundary telescopes: contributions of
+        # the shared diagonal face cancel between the two cells.
+        flux = np.zeros(m.num_faces)
+        diag = m.interior_faces()[0]
+        flux[diag] = 2.5
+        per_cell = (jnp.asarray(flux)[dm.cell_face_ell] * dm.cell_face_sign).sum(
+            axis=1
+        )
         np.testing.assert_allclose(per_cell[0], -per_cell[1])
+        np.testing.assert_allclose(np.abs(per_cell[0]), 2.5)
+        # Every cell sees all 3 of its faces (sign ≠ 0 count).
+        assert (np.asarray(dm.cell_face_sign != 0).sum(axis=1) == 3).all()
 
     def test_adjacency(self, unit_square_two_tris):
         m = unit_square_two_tris
@@ -150,9 +156,13 @@ class TestDeviceArrays:
         assert 1 in adj[0]
         assert 0 in adj[1]
 
-    def test_all_faces_mask(self, unit_square_two_tris):
-        dm = unit_square_two_tris.device_arrays()
-        assert np.asarray(dm.cell_all_faces_mask).sum() == 6  # 3 faces × 2 cells
+    def test_face_dist(self, unit_square_two_tris):
+        m = unit_square_two_tris
+        dm = m.device_arrays()
+        diag = m.interior_faces()[0]
+        want = np.linalg.norm(m.cell_centers[1] - m.cell_centers[0])
+        np.testing.assert_allclose(np.asarray(dm.face_dist)[diag], want)
+        assert (np.asarray(dm.face_dist)[m.boundary_faces()] == 0).all()
 
 
 @pytest.mark.slow
