@@ -1,0 +1,29 @@
+"""Multi-chip distribution layer (the capability the reference lacks).
+
+The reference intended METIS mesh partitioning but never wired it
+(``CMakeLists.txt:377-383``); there is no MPI/NCCL anywhere (SURVEY §2.9).
+This package supplies the TPU-native replacement: RCM row/block partitioning
+of CSR operators, per-device ELL blocks with an all-gathered shared-boundary
+halo, and whole Krylov solves running inside a single ``shard_map`` region
+with ``psum`` reductions riding ICI.
+"""
+
+from stormx.parallel.partition import (
+    PartitionedOperator,
+    partition_csr,
+    partition_vector,
+    rcm_order,
+    unpartition_vector,
+)
+from stormx.parallel.sharded import make_device_mesh, sharded_matvec, sharded_solve
+
+__all__ = [
+    "PartitionedOperator",
+    "partition_csr",
+    "partition_vector",
+    "rcm_order",
+    "unpartition_vector",
+    "make_device_mesh",
+    "sharded_matvec",
+    "sharded_solve",
+]

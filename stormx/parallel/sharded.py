@@ -1,0 +1,150 @@
+"""Sharded Krylov solves: the whole convergence loop inside shard_map.
+
+The two communication points of a Krylov iteration on a partitioned mesh
+(SURVEY §3.1) map to:
+
+  * dot products / norms → ``lax.psum`` over the mesh axis (already inside
+    ``stormx.ops.vector`` via ``axis_name``);
+  * the operator's halo exchange → one ``lax.all_gather`` of shared-boundary
+    cells inside the local SpMV.
+
+Everything else is device-local, so the entire ``lax.while_loop`` lives in
+one shard_map region — one XLA program per solve, collectives riding ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from stormx.parallel.partition import PartitionedOperator, partition_vector, unpartition_vector
+from stormx.solvers import SOLVERS, SolverOptions, make_operator
+
+__all__ = ["make_device_mesh", "sharded_solve", "sharded_matvec"]
+
+AXIS = "parts"
+
+
+def make_device_mesh(num_parts: int | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    num_parts = num_parts or len(devices)
+    return Mesh(np.array(devices[:num_parts]), (AXIS,))
+
+
+def sharded_matvec(pop: PartitionedOperator, mesh: Mesh):
+    """Build a jitted global matvec (P, n_pad) → (P, n_pad) over the mesh."""
+    local = pop.local_matvec(AXIS)
+
+    def fn(x, data, cols, send):
+        # shard_map blocks keep a leading axis of length 1 — strip/restore it.
+        return local(x[0], data[0], cols[0], send[0])[None]
+
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+    )
+    return jax.jit(lambda x: sharded(x, pop.data, pop.cols, pop.send_slots))
+
+
+def sharded_solve(
+    pop: PartitionedOperator,
+    b,
+    x0=None,
+    *,
+    mesh: Mesh | None = None,
+    method: str = "cg",
+    options: SolverOptions | None = None,
+    precond_diag=None,
+    **solver_kw,
+):
+    """Solve A·x = b with the operator partitioned over the device mesh.
+
+    ``b``/``x0`` are *global* (n,) vectors; the result is returned global.
+    The full solver while-loop runs inside shard_map: per-iteration
+    reductions are psums, halo exchange is an all_gather, no host round
+    trips.
+    """
+    mesh = mesh or make_device_mesh(pop.num_parts)
+    opts = options or SolverOptions()
+    solver_fn = SOLVERS[method.lower()]
+    local_mv = pop.local_matvec(AXIS)
+
+    bp = partition_vector(pop, b)
+    xp0 = (
+        partition_vector(pop, x0)
+        if x0 is not None
+        else jnp.zeros_like(bp)
+    )
+
+    extras = {}
+    if precond_diag is not None:
+        extras["diag"] = partition_vector(pop, np.asarray(precond_diag))
+    if method.lower() == "idrs" and "shadow" not in solver_kw:
+        # The shadow basis must be drawn in GLOBAL layout: device-local
+        # draws with a replicated key tile the same values on every device,
+        # making the basis (and hence the convergence history) depend on
+        # the partition count.  Padding slots stay exactly zero so MGS
+        # norms are partition-invariant.
+        from stormx.solvers.idrs import _SHADOW_SEED
+
+        s = solver_kw.get("s", 4)
+        seed = solver_kw.pop("shadow_seed", _SHADOW_SEED)
+        raws = np.random.default_rng(seed).standard_normal((s - 1, pop.n_global))
+        extras["shadow"] = jnp.stack(
+            [partition_vector(pop, row) for row in raws], axis=1
+        )  # (P, s-1, n_pad)
+    extra_keys = tuple(extras)
+
+    def local_solve(b_loc, x0_loc, data, cols, send, *extra_vals):
+        b_loc, x0_loc = b_loc[0], x0_loc[0]
+        data, cols, send = data[0], cols[0], send[0]
+        op = make_operator(lambda v: local_mv(v, data, cols, send))
+        kw = dict(solver_kw)
+        pre = None
+        for key, val in zip(extra_keys, extra_vals):
+            if key == "diag":
+                from stormx.precond import JacobiPreconditioner
+
+                pre = JacobiPreconditioner(diag=val[0])
+            else:
+                kw[key] = val[0]
+        res = solver_fn(
+            op,
+            b_loc,
+            x0_loc,
+            precond=pre,
+            options=opts,
+            axis_name=AXIS,
+            **kw,
+        )
+        return res._replace(x=res.x[None])
+
+    from stormx.solvers.base import SolveResult
+
+    out_specs = SolveResult(
+        x=P(AXIS),
+        converged=P(),
+        num_iterations=P(),
+        absolute_error=P(),
+        relative_error=P(),
+        history=P(),
+    )
+    n_args = 5 + len(extras)
+    sharded = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=tuple([P(AXIS)] * n_args),
+        out_specs=out_specs,
+    )
+    args = (bp, xp0, pop.data, pop.cols, pop.send_slots) + tuple(
+        extras[k] for k in extra_keys
+    )
+    res = jax.jit(sharded)(*args)
+    x_global = unpartition_vector(pop, res.x)
+    return res._replace(x=x_global)

@@ -38,7 +38,13 @@ def idrs(
     s: int = 4,
     axis_name: str | None = None,
     shadow_seed: int = _SHADOW_SEED,
+    shadow=None,
 ) -> SolveResult:
+    """``shadow`` (optional): caller-supplied stacked raw vectors (s-1 leaves
+    stacked on axis 0, same pytree as ``b``) used instead of ``jax.random``
+    draws for p₁..p₋₁.  Distributed callers MUST supply these in global
+    layout — device-local draws with a replicated key repeat the same tile
+    on every device and make the basis depend on the partition count."""
     opts = options or SolverOptions()
     A = as_operator(op)
     P = build_preconditioner(precond, x0, b, A)
@@ -62,9 +68,19 @@ def idrs(
         phi = jnp.zeros((s,), dtype=dtype).at[0].set(err0)
         mu = jnp.eye(s, dtype=dtype)
         omega = jnp.ones((), dtype=dtype)
-        Pspace = v.stacked_zeros(r, s)
+        # The shadow space only depends on the initial residual (reference
+        # builds it at the FIRST inner_init, :129-141, where r is still r₀),
+        # so build it here — this also keeps every lax.cond/while carry with
+        # a uniform sharding-variance under shard_map.
+        Pspace = build_shadow_space(r, phi)
         U = v.stacked_zeros(r, s)
         G = v.stacked_zeros(r, s)
+        if axis_name is not None:
+            # Zero-initialized carries must already be device-varying so the
+            # while-loop carry signature is uniform under shard_map.
+            U, G = jax.tree_util.tree_map(
+                lambda a: lax.pcast(a, (axis_name,), to="varying"), (U, G)
+            )
         return (r, Pspace, U, G, phi, mu, omega), err0
 
     def build_shadow_space(r, phi):
@@ -76,15 +92,18 @@ def idrs(
         key = jax.random.PRNGKey(shadow_seed)
         leaves, treedef = jax.tree_util.tree_flatten(r)
         for i in range(1, s):
-            key, sub = jax.random.split(key)
-            subkeys = jax.random.split(sub, len(leaves))
-            p_i = jax.tree_util.tree_unflatten(
-                treedef,
-                [
-                    jax.random.normal(kk, l.shape, l.dtype)
-                    for kk, l in zip(subkeys, leaves)
-                ],
-            )
+            if shadow is not None:
+                p_i = v.get_stacked(shadow, i - 1)
+            else:
+                key, sub = jax.random.split(key)
+                subkeys = jax.random.split(sub, len(leaves))
+                p_i = jax.tree_util.tree_unflatten(
+                    treedef,
+                    [
+                        jax.random.normal(kk, l.shape, l.dtype)
+                        for kk, l in zip(subkeys, leaves)
+                    ],
+                )
             for j in range(i):
                 p_j = v.get_stacked(Pspace, j)
                 p_i = v.xpay(p_i, -dot(p_i, p_j), p_j)
@@ -97,30 +116,14 @@ def idrs(
         k = it % s
         idx = jnp.arange(s)
 
-        # --- inner_init at cycle start (:104-147) ---
-        def cycle_init(args):
-            r, Pspace, phi, mu, omega = args
-
-            def first(_):
-                Ps = build_shadow_space(r, phi)
-                phi_new = jnp.zeros_like(phi).at[0].set(phi[0])
-                return Ps, phi_new, jnp.eye(s, dtype=mu.dtype), jnp.ones_like(omega)
-
-            def refresh(_):
-                # φᵢ ← <pᵢ⋅r>.
-                phi_new = jnp.stack(
-                    [dot(v.get_stacked(Pspace, i), r) for i in range(s)]
-                )
-                return Pspace, phi_new, mu, omega
-
-            Ps, phi_new, mu_new, om_new = lax.cond(it == 0, first, refresh, None)
-            return r, Ps, phi_new, mu_new, om_new
-
-        r, Pspace, phi, mu, omega = lax.cond(
-            k == 0,
-            cycle_init,
-            lambda a: a,
-            (r, Pspace, phi, mu, omega),
+        # --- inner_init at cycle start (:104-147): refresh φᵢ ← <pᵢ⋅r>.
+        # At it == 0 keep the exact (‖r₀‖, 0, …, 0) from init (the shadow
+        # space itself is built once in init_fn; μ = I and ω = 1 already
+        # hold there, so no reset is needed).
+        phi = lax.cond(
+            jnp.logical_and(k == 0, it > 0),
+            lambda: jnp.stack([dot(v.get_stacked(Pspace, i), r) for i in range(s)]),
+            lambda: phi,
         )
 
         # --- γ ← (μₖ:ₛ₋₁,ₖ:ₛ₋₁)⁻¹·φₖ:ₛ₋₁ forward substitution (:160-173) ---

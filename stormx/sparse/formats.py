@@ -25,10 +25,21 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from stormx.ops.segment import segment_sum
 
-__all__ = ["CSR", "COO", "ELL", "BSR", "csr_from_dense", "ell_from_csr", "bsr_from_csr"]
+__all__ = [
+    "CSR",
+    "COO",
+    "ELL",
+    "BSR",
+    "DIA",
+    "csr_from_dense",
+    "ell_from_csr",
+    "bsr_from_csr",
+    "dia_from_csr",
+]
 
 
 def _register(cls, data_fields, meta_fields):
@@ -209,6 +220,59 @@ class BSR:
 _register(BSR, ("blocks", "cols"), ("shape",))
 
 
+@dataclass(frozen=True)
+class DIA:
+    """Diagonal (banded) storage — the speed-of-light TPU SpMV format.
+
+    TPUs have no hardware gather: XLA lowers ``x[cols]`` to a serial
+    per-element loop, which measures ~400× below HBM roofline.  But after
+    bandwidth-reducing reordering (``stormx.parallel.rcm_order``) mesh
+    operators are *banded*, and a banded SpMV needs no gather at all:
+
+        y[i] = Σ_d  data[d, i] · x[i + offsets[d]]
+
+    i.e. one statically-shifted elementwise FMA per stored diagonal — pure
+    VPU work streaming from HBM, which XLA fuses into a single kernel.
+    ``data[d, i]`` holds ``A[i, i + offsets[d]]`` (zero where out of range).
+
+    Capability parity: the reference's only benchmark operator is exactly
+    this shape (9-point Laplace stencil, ``tests/benchmark/BitternLaplace2D
+    .cpp``), and its CSR mesh tables (``Utils/Table.hpp:125-190``) convert
+    via :func:`dia_from_csr`.
+    """
+
+    data: jax.Array  # (num_diags, n_rows)
+    offsets: tuple[int, ...]  # static; one per stored diagonal
+    shape: tuple[int, int]
+
+    @property
+    def num_diags(self) -> int:
+        return self.data.shape[0]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        n, m = self.shape
+        # x index is i + off for row i ∈ [0, n); pad so every static slice
+        # of length n is in range (out-of-band data entries are zero).
+        lo = max(0, -min(self.offsets))
+        hi = max(0, n + max(self.offsets) - m)
+        x_pad = jnp.pad(x, (lo, hi)) if (lo or hi) else x
+        y = jnp.zeros(n, dtype=jnp.result_type(self.data.dtype, x.dtype))
+        for d, off in enumerate(self.offsets):
+            y = y + self.data[d] * lax.slice(x_pad, (lo + off,), (lo + off + n,))
+        return y
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def diagonal(self) -> jax.Array:
+        if 0 in self.offsets:
+            return self.data[self.offsets.index(0)]
+        return jnp.zeros(self.shape[0], dtype=self.data.dtype)
+
+
+_register(DIA, ("data",), ("offsets", "shape"))
+
+
 # ---------------------------------------------------------------------------
 # Host-side converters (NumPy; run once at setup).
 # ---------------------------------------------------------------------------
@@ -248,6 +312,36 @@ def ell_from_csr(csr: CSR, row_width: int | None = None) -> ELL:
     cols[row_of, within] = indices
     vals[row_of, within] = data
     return ELL(data=jnp.asarray(vals), cols=jnp.asarray(cols), shape=csr.shape)
+
+
+def dia_from_csr(csr: CSR, max_diags: int | None = None) -> DIA:
+    """Convert CSR to diagonal storage (host-side).
+
+    Stores every populated diagonal; raises if that exceeds ``max_diags``
+    (use RCM reordering first to shrink the band, or stay with ELL for
+    genuinely scattered operators).
+    """
+    row_ptr = np.asarray(csr.row_ptr)
+    indices = np.asarray(csr.indices)
+    data = np.asarray(csr.data)
+    n = csr.shape[0]
+    counts = np.diff(row_ptr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    offs = indices.astype(np.int64) - rows
+    uniq = np.unique(offs)
+    if max_diags is not None and len(uniq) > max_diags:
+        raise ValueError(
+            f"{len(uniq)} populated diagonals > max_diags={max_diags}; "
+            "apply rcm_order first or use ELL"
+        )
+    slot = np.searchsorted(uniq, offs)
+    diag = np.zeros((len(uniq), n), dtype=data.dtype)
+    np.add.at(diag, (slot, rows), data)
+    return DIA(
+        data=jnp.asarray(diag),
+        offsets=tuple(int(o) for o in uniq),
+        shape=csr.shape,
+    )
 
 
 def bsr_from_csr(csr: CSR, block_size: int, row_width: int | None = None) -> BSR:

@@ -1,0 +1,127 @@
+"""Distribution-layer tests on the 8-virtual-device CPU mesh.
+
+The oracle (SURVEY §4 "Multi-node testing"): the convergence history of an
+N-partition solve must match the 1-partition / serial history to fp64
+tolerance — partitioning is a layout change, not an algorithm change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stormx.parallel import (
+    make_device_mesh,
+    partition_csr,
+    partition_vector,
+    rcm_order,
+    sharded_matvec,
+    sharded_solve,
+    unpartition_vector,
+)
+from stormx.solvers import make_operator, solve
+from stormx.sparse import CSR
+
+from conftest import make_nonsym_matrix, make_spd_matrix
+
+
+def dense_to_csr(a):
+    rows, cols = np.nonzero(a)
+    data = a[rows, cols]
+    n = a.shape[0]
+    row_ptr = np.zeros(n + 1, dtype=np.int32)
+    np.add.at(row_ptr, rows + 1, 1)
+    return CSR(
+        data=jnp.asarray(data),
+        indices=jnp.asarray(cols.astype(np.int32)),
+        row_ptr=jnp.asarray(np.cumsum(row_ptr).astype(np.int32)),
+        shape=(n, n),
+    )
+
+
+@pytest.fixture(scope="module")
+def spd_problem():
+    rng = np.random.default_rng(7)
+    n = 96
+    a = make_spd_matrix(n, rng, density=0.06)
+    a[np.abs(a) < 1e-12] = 0.0
+    b = rng.standard_normal(n)
+    return a, dense_to_csr(a), b
+
+
+def test_rcm_is_permutation():
+    rng = np.random.default_rng(3)
+    n = 50
+    rows = rng.integers(0, n, 300)
+    cols = rng.integers(0, n, 300)
+    order = rcm_order(n, rows, cols)
+    assert sorted(order.tolist()) == list(range(n))
+
+
+@pytest.mark.parametrize("num_parts", [1, 2, 4, 8])
+def test_partitioned_matvec_matches_dense(spd_problem, num_parts):
+    a, csr, _ = spd_problem
+    x = np.random.default_rng(1).standard_normal(a.shape[0])
+    pop = partition_csr(csr, num_parts)
+    mv = sharded_matvec(pop, make_device_mesh(num_parts))
+    y = unpartition_vector(pop, mv(partition_vector(pop, x)))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-10)
+
+
+def test_partition_vector_roundtrip(spd_problem):
+    _, csr, b = spd_problem
+    pop = partition_csr(csr, 4)
+    np.testing.assert_array_equal(unpartition_vector(pop, partition_vector(pop, b)), b)
+
+
+@pytest.mark.parametrize("num_parts", [2, 8])
+def test_sharded_cg_matches_serial_history(spd_problem, num_parts):
+    a, csr, b = spd_problem
+    serial = solve(make_operator(csr.matvec), jnp.asarray(b), method="cg")
+    res = sharded_solve(partition_csr(csr, num_parts), b, method="cg")
+    assert bool(res.converged)
+    assert int(res.num_iterations) == int(serial.num_iterations)
+    hs = np.asarray(serial.history)
+    hp = np.asarray(res.history)
+    k = int(serial.num_iterations) + 1
+    np.testing.assert_allclose(hp[:k], hs[:k], rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.linalg.solve(a, b), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("method", ["bicgstab", "gmres", "tfqmr", "idrs"])
+def test_sharded_nonsymmetric_solvers(method):
+    rng = np.random.default_rng(11)
+    n = 64
+    a = make_nonsym_matrix(n, rng)
+    a[(np.abs(a) < 0.4) & ~np.eye(n, dtype=bool)] = 0.0
+    b = rng.standard_normal(n)
+    res = sharded_solve(partition_csr(dense_to_csr(a), 4), b, method=method)
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.linalg.solve(a, b), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_jacobi_preconditioner(spd_problem):
+    a, csr, b = spd_problem
+    plain = sharded_solve(partition_csr(csr, 4), b, method="cg")
+    pre = sharded_solve(partition_csr(csr, 4), b, method="cg", precond_diag=np.diag(a))
+    assert bool(pre.converged)
+    assert int(pre.num_iterations) <= int(plain.num_iterations)
+    np.testing.assert_allclose(
+        np.asarray(pre.x), np.linalg.solve(a, b), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_partition_invariance_across_counts(spd_problem):
+    """2-part and 8-part histories agree to fp64 tolerance (BASELINE.md)."""
+    _, csr, b = spd_problem
+    hists = {}
+    for p in (2, 8):
+        res = sharded_solve(partition_csr(csr, p), b, method="cg")
+        h = np.asarray(res.history)
+        hists[p] = h[~np.isnan(h)]
+    assert len(hists[2]) == len(hists[8])
+    np.testing.assert_allclose(hists[2], hists[8], rtol=1e-10)

@@ -127,3 +127,59 @@ class TestPytreeRegistration:
             return mat @ x
 
         np.testing.assert_allclose(f(ell, x), dense @ np.asarray(x), rtol=1e-12)
+
+
+class TestDIA:
+    def test_matvec_matches_dense(self, dense, rng):
+        from stormx.sparse import dia_from_csr
+
+        dia = dia_from_csr(csr_from_dense(dense))
+        x = rng.standard_normal(12)
+        np.testing.assert_allclose(dia @ jnp.asarray(x), dense @ x, rtol=1e-12)
+
+    def test_diagonal(self, dense):
+        from stormx.sparse import dia_from_csr
+
+        dia = dia_from_csr(csr_from_dense(dense))
+        np.testing.assert_allclose(dia.diagonal(), np.diag(dense), rtol=1e-12)
+
+    def test_banded_poisson(self):
+        """5-point Poisson: exactly 5 diagonals, matvec == CSR oracle."""
+        from stormx.sparse import dia_from_csr
+
+        nx = 7
+        n = nx * nx
+        a = np.zeros((n, n))
+        for i in range(nx):
+            for j in range(nx):
+                r = i * nx + j
+                a[r, r] = 4.0
+                for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ii, jj = i + di, j + dj
+                    if 0 <= ii < nx and 0 <= jj < nx:
+                        a[r, ii * nx + jj] = -1.0
+        csr = csr_from_dense(a)
+        dia = dia_from_csr(csr)
+        assert dia.offsets == (-nx, -1, 0, 1, nx)
+        x = np.random.default_rng(1).standard_normal(n)
+        np.testing.assert_allclose(dia @ jnp.asarray(x), csr @ jnp.asarray(x), rtol=1e-12)
+
+    def test_max_diags_guard(self, dense):
+        from stormx.sparse import dia_from_csr
+
+        with pytest.raises(ValueError, match="diagonals"):
+            dia_from_csr(csr_from_dense(dense), max_diags=2)
+
+    def test_jit_through_dia(self, dense, rng):
+        import jax
+
+        from stormx.sparse import dia_from_csr
+
+        dia = dia_from_csr(csr_from_dense(dense))
+        x = jnp.asarray(rng.standard_normal(12))
+
+        @jax.jit
+        def f(mat, x):
+            return mat @ x
+
+        np.testing.assert_allclose(f(dia, x), dense @ np.asarray(x), rtol=1e-12)
