@@ -10,6 +10,7 @@ with ``psum`` reductions riding ICI.
 
 from stormx.parallel.partition import (
     PartitionedOperator,
+    bfs_partition,
     partition_csr,
     partition_vector,
     rcm_order,
@@ -19,6 +20,7 @@ from stormx.parallel.sharded import make_device_mesh, sharded_matvec, sharded_so
 
 __all__ = [
     "PartitionedOperator",
+    "bfs_partition",
     "partition_csr",
     "partition_vector",
     "rcm_order",

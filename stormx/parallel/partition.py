@@ -1,17 +1,26 @@
 """Mesh/operator partitioning for multi-chip execution.
 
 The reference intended METIS partitioning but never wired it
-(``CMakeLists.txt:377-383`` — detection commented out as broken).  Per
-BASELINE.md the rebuild uses **row/block partitioning**: cells are reordered
-by reverse Cuthill–McKee (bandwidth-minimizing, so partition boundaries are
-thin strips) and split into equal contiguous blocks, one per device.
+(``CMakeLists.txt:377-383`` — detection commented out as broken).  The
+rebuild offers two layouts:
+
+* ``method="rcm-blocks"`` — cells reordered by reverse Cuthill–McKee
+  (bandwidth-minimizing, so partition boundaries are thin strips) and split
+  into equal contiguous blocks, one per device.
+* ``method="bfs"`` — balanced BFS graph growing (METIS-style): each
+  partition grows by breadth-first search until it holds ceil(n/P) cells,
+  the spilled frontier seeding the next partition.  Parts are then laid out
+  in RCM order internally.
+
+The serial graph algorithms (RCM, BFS growing) run in the native host
+runtime (``stormx._native``, C++ via ctypes) with pure-NumPy fallbacks.
 
 Halo model: the union S of all cells referenced across a partition boundary
 ("shared cells") is laid out in a fixed per-partition-padded order.  At each
 operator application every device contributes its owned shared cells and an
 ``all_gather`` over the mesh axis materializes S everywhere; local ELL
 columns point either at owned slots [0, n_pad) or at S slots
-[n_pad, n_pad + P·s_max).  With RCM ordering S is O(boundary), so the
+[n_pad, n_pad + P·s_max).  With RCM/BFS layouts S is O(boundary), so the
 all-gather moves only strip cells, riding ICI.
 """
 
@@ -22,18 +31,20 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["rcm_order", "PartitionedOperator", "partition_csr", "partition_vector", "unpartition_vector"]
+__all__ = [
+    "rcm_order",
+    "bfs_partition",
+    "PartitionedOperator",
+    "partition_csr",
+    "partition_vector",
+    "unpartition_vector",
+]
 
 
-def rcm_order(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
-    """Reverse Cuthill–McKee ordering from an edge list (symmetrized).
-
-    Returns ``order`` with ``order[new] = old``.  Pure NumPy BFS with
-    degree-sorted neighbor visits.
-    """
+def _csr_adjacency(n: int, rows: np.ndarray, cols: np.ndarray):
+    """Symmetrized, deduplicated, self-loop-free CSR adjacency (vectorized)."""
     rows = np.concatenate([rows, cols])
     cols_sym = np.concatenate([cols, rows[: len(cols)]])
-    # Build CSR adjacency.
     mask = rows != cols_sym
     r, c = rows[mask], cols_sym[mask]
     order_rc = np.lexsort((c, r))
@@ -44,7 +55,11 @@ def rcm_order(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     deg = np.bincount(r, minlength=n)
     ptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=ptr[1:])
+    return ptr, c.astype(np.int64), deg
 
+
+def _rcm_python(n: int, ptr: np.ndarray, c: np.ndarray, deg: np.ndarray) -> np.ndarray:
+    """Pure-NumPy RCM BFS (fallback when the native library is unavailable)."""
     visited = np.zeros(n, dtype=bool)
     result = np.empty(n, dtype=np.int64)
     pos = 0
@@ -52,9 +67,7 @@ def rcm_order(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     for seed in order_by_degree:
         if visited[seed]:
             continue
-        # BFS from the lowest-degree unvisited node.
         visited[seed] = True
-        queue = [seed]
         result[pos] = seed
         pos += 1
         head = pos - 1
@@ -71,6 +84,73 @@ def rcm_order(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     return result[::-1].copy()  # reverse
 
 
+def rcm_order(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill–McKee ordering from an edge list (symmetrized).
+
+    Returns ``order`` with ``order[new] = old``.  Native C++ BFS when
+    available (identical output to the NumPy fallback).
+    """
+    ptr, c, deg = _csr_adjacency(n, np.asarray(rows), np.asarray(cols))
+    from stormx._native import native_rcm_order
+
+    out = native_rcm_order(ptr, c)
+    if out is not None:
+        return out
+    return _rcm_python(n, ptr, c, deg)
+
+
+def _bfs_partition_python(
+    n: int, ptr: np.ndarray, c: np.ndarray, deg: np.ndarray, k: int
+) -> np.ndarray:
+    """Pure-Python balanced BFS growing (mirrors the native algorithm)."""
+    target = -(-n // k)
+    by_degree = np.argsort(deg, kind="stable")
+    assigned = np.zeros(n, dtype=bool)
+    part = np.empty(n, dtype=np.int64)
+    seed_cursor = 0
+    spill: list[int] = []
+    for p in range(k):
+        count = 0
+        queue = spill
+        spill = []
+        head = 0
+        while count < target:
+            if head >= len(queue):
+                while seed_cursor < n and assigned[by_degree[seed_cursor]]:
+                    seed_cursor += 1
+                if seed_cursor >= n:
+                    break
+                queue.append(int(by_degree[seed_cursor]))
+            u = queue[head]
+            head += 1
+            if assigned[u]:
+                continue
+            assigned[u] = True
+            part[u] = p
+            count += 1
+            for v in c[ptr[u] : ptr[u + 1]]:
+                if not assigned[v]:
+                    queue.append(int(v))
+        spill = [u for u in queue[head:] if not assigned[u]]
+    part[~assigned] = k - 1
+    return part
+
+
+def bfs_partition(n: int, rows: np.ndarray, cols: np.ndarray, k: int) -> np.ndarray:
+    """Balanced BFS k-way partition labels from an edge list.
+
+    Each part holds at most ceil(n/k) nodes; boundaries follow BFS
+    frontiers (METIS-style graph growing, deterministic).
+    """
+    ptr, c, deg = _csr_adjacency(n, np.asarray(rows), np.asarray(cols))
+    from stormx._native import native_bfs_partition
+
+    out = native_bfs_partition(ptr, c, k)
+    if out is not None:
+        return out
+    return _bfs_partition_python(n, ptr, c, deg, k)
+
+
 @dataclass(frozen=True)
 class PartitionedOperator:
     """A sparse operator split into P device-local ELL blocks.
@@ -81,13 +161,13 @@ class PartitionedOperator:
 
     num_parts: int
     n_global: int  # true (unpadded) size
-    n_pad: int  # owned rows per partition (padded)
+    n_pad: int  # owned-row slots per partition (padded)
     s_max: int  # shared-cells slots per partition (padded)
     data: jnp.ndarray  # (P, n_pad, K)
     cols: jnp.ndarray  # (P, n_pad, K) local column ids
     send_slots: jnp.ndarray  # (P, s_max) local owned slots exported to S
-    perm: np.ndarray  # global RCM order: perm[new] = old
-    inv_perm: np.ndarray
+    perm: np.ndarray  # layout order: perm[i] = old id of i-th laid-out row
+    fill_slots: np.ndarray  # padded slot of the i-th laid-out row
 
     def local_matvec(self, axis_name: str):
         """Per-device SpMV closure for use inside shard_map.
@@ -106,11 +186,14 @@ class PartitionedOperator:
         return matvec
 
 
-def partition_csr(csr, num_parts: int, *, reorder: bool = True) -> PartitionedOperator:
+def partition_csr(
+    csr, num_parts: int, *, method: str = "rcm-blocks", reorder: bool = True
+) -> PartitionedOperator:
     """Partition a CSR operator into P local ELL blocks (host-side).
 
-    Rows are RCM-reordered (unless ``reorder=False``) and split into equal
-    contiguous blocks of ``n_pad = ceil(n/P)``; padding rows are zero.
+    ``method="rcm-blocks"``: RCM order split into contiguous blocks.
+    ``method="bfs"``: balanced BFS graph growing, RCM layout within parts.
+    ``reorder=False``: natural order, contiguous blocks (debug).
     """
     n = csr.shape[0]
     row_ptr = np.asarray(csr.row_ptr)
@@ -119,62 +202,82 @@ def partition_csr(csr, num_parts: int, *, reorder: bool = True) -> PartitionedOp
     counts = np.diff(row_ptr)
     rows = np.repeat(np.arange(n), counts)
 
-    if reorder:
-        perm = rcm_order(n, rows, indices.astype(np.int64))
-    else:
-        perm = np.arange(n, dtype=np.int64)
-    inv = np.empty(n, dtype=np.int64)
-    inv[perm] = np.arange(n)
-
-    # Renumber: new row/col ids.
-    new_rows = inv[rows]
-    new_cols = inv[indices]
-
     P = num_parts
     n_pad = -(-n // P)
 
-    def part_of(g):
-        return g // n_pad
+    # --- Layout: perm (ordered old ids), fill_slots (padded slot of each). --
+    if not reorder:
+        perm = np.arange(n, dtype=np.int64)
+        fill_slots = np.arange(n, dtype=np.int64)
+    elif method == "rcm-blocks":
+        perm = rcm_order(n, rows, indices.astype(np.int64))
+        fill_slots = np.arange(n, dtype=np.int64)
+    elif method == "bfs":
+        part_of_old = bfs_partition(n, rows, indices.astype(np.int64), P)
+        rcm = rcm_order(n, rows, indices.astype(np.int64))
+        rcm_pos = np.empty(n, dtype=np.int64)
+        rcm_pos[rcm] = np.arange(n)
+        # Order: by part, then RCM position within the part.
+        perm = np.lexsort((rcm_pos, part_of_old))
+        part_sorted = part_of_old[perm]
+        sizes = np.bincount(part_sorted, minlength=P)
+        if sizes.max() > n_pad:
+            raise ValueError("bfs_partition produced an oversized part")
+        starts = np.zeros(P + 1, dtype=np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        within = np.arange(n) - starts[part_sorted]
+        fill_slots = part_sorted * n_pad + within
+    else:
+        raise ValueError(f"unknown partition method {method!r}")
 
-    def slot_of(g):
-        return g % n_pad
+    # Slot id of every old row/col id.
+    slot_of_old = np.empty(n, dtype=np.int64)
+    slot_of_old[perm] = fill_slots
 
-    # Shared set S: columns referenced across a partition boundary.
-    cross = part_of(new_rows) != part_of(new_cols)
-    S = np.unique(new_cols[cross])
+    srow = slot_of_old[rows]
+    scol = slot_of_old[indices]
+
+    def part_of(s):
+        return s // n_pad
+
+    def within_of(s):
+        return s % n_pad
+
+    # Shared set S: column slots referenced across a partition boundary.
+    cross = part_of(srow) != part_of(scol)
+    S = np.unique(scol[cross])
     s_part = part_of(S)
     s_counts = np.bincount(s_part, minlength=P)
     s_max = int(s_counts.max()) if len(S) else 1
-    # Position of each shared cell inside its partition's contribution.
     s_starts = np.zeros(P + 1, dtype=np.int64)
     np.cumsum(s_counts, out=s_starts[1:])
     s_pos_within = np.arange(len(S)) - s_starts[s_part]
     shared_slot = s_part * s_max + s_pos_within  # position in flat S buffer
-    shared_lookup = np.full(n, -1, dtype=np.int64)
+    shared_lookup = np.full(P * n_pad, -1, dtype=np.int64)
     shared_lookup[S] = shared_slot
 
     send_slots = np.zeros((P, s_max), dtype=np.int32)
-    send_slots[s_part, s_pos_within] = slot_of(S).astype(np.int32)
+    send_slots[s_part, s_pos_within] = within_of(S).astype(np.int32)
 
     # Local ELL: row width K = global max row count.
     K = int(counts.max()) if n else 0
     data_l = np.zeros((P, n_pad, K), dtype=data.dtype)
     cols_l = np.zeros((P, n_pad, K), dtype=np.int32)
-    within = np.arange(len(rows)) - row_ptr[:-1].astype(np.int64)[rows]
-    p_r = part_of(new_rows)
-    slot_r = slot_of(new_rows)
-    # Column mapping: owned → slot; foreign → n_pad + shared position.
-    same = part_of(new_cols) == p_r
+    p_r = part_of(srow)
+    within_r = within_of(srow)
+    # Column mapping: owned → within-slot; foreign → n_pad + shared position.
+    same = part_of(scol) == p_r
     local_col = np.where(
-        same, slot_of(new_cols), n_pad + shared_lookup[new_cols]
+        same, within_of(scol), n_pad + shared_lookup[scol]
     ).astype(np.int32)
-    # Row-local nonzero position: order nonzeros by (new_row, within-original).
-    order_nz = np.lexsort((within, new_rows))
-    nr, wi = new_rows[order_nz], None
-    starts_r = np.searchsorted(nr, np.arange(n))
-    pos_in_row = np.arange(len(nr)) - starts_r[nr]
-    data_l[p_r[order_nz], slot_r[order_nz], pos_in_row] = data[order_nz]
-    cols_l[p_r[order_nz], slot_r[order_nz], pos_in_row] = local_col[order_nz]
+    # Row-local nonzero position: order nonzeros by (slot row, original order).
+    within_orig = np.arange(len(rows)) - row_ptr[:-1].astype(np.int64)[rows]
+    order_nz = np.lexsort((within_orig, srow))
+    sr = srow[order_nz]
+    starts_r = np.searchsorted(sr, np.arange(P * n_pad))
+    pos_in_row = np.arange(len(sr)) - starts_r[sr]
+    data_l[p_r[order_nz], within_r[order_nz], pos_in_row] = data[order_nz]
+    cols_l[p_r[order_nz], within_r[order_nz], pos_in_row] = local_col[order_nz]
 
     return PartitionedOperator(
         num_parts=P,
@@ -185,21 +288,21 @@ def partition_csr(csr, num_parts: int, *, reorder: bool = True) -> PartitionedOp
         cols=jnp.asarray(cols_l),
         send_slots=jnp.asarray(send_slots),
         perm=perm,
-        inv_perm=inv,
+        fill_slots=fill_slots,
     )
 
 
 def partition_vector(pop: PartitionedOperator, x) -> jnp.ndarray:
-    """Global (n,) vector → (P, n_pad) partitioned layout (RCM order)."""
+    """Global (n,) vector → (P, n_pad) partitioned layout."""
     x = np.asarray(x)
     out = np.zeros((pop.num_parts * pop.n_pad,), dtype=x.dtype)
-    out[: pop.n_global] = x[pop.perm]
+    out[pop.fill_slots] = x[pop.perm]
     return jnp.asarray(out.reshape(pop.num_parts, pop.n_pad))
 
 
 def unpartition_vector(pop: PartitionedOperator, xp) -> np.ndarray:
     """(P, n_pad) partitioned layout → global (n,) vector."""
-    flat = np.asarray(xp).reshape(-1)[: pop.n_global]
-    out = np.empty_like(flat)
-    out[pop.perm] = flat
+    flat = np.asarray(xp).reshape(-1)
+    out = np.empty(pop.n_global, dtype=flat.dtype)
+    out[pop.perm] = flat[pop.fill_slots]
     return out

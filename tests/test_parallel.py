@@ -125,3 +125,82 @@ def test_partition_invariance_across_counts(spd_problem):
         hists[p] = h[~np.isnan(h)]
     assert len(hists[2]) == len(hists[8])
     np.testing.assert_allclose(hists[2], hists[8], rtol=1e-10)
+
+
+class TestNativeHostRuntime:
+    """The C++ host runtime (stormx._native) vs the NumPy fallbacks."""
+
+    def _adjacency_case(self):
+        rng = np.random.default_rng(13)
+        n = 120
+        rows = rng.integers(0, n, 500)
+        cols = rng.integers(0, n, 500)
+        return n, rows, cols
+
+    def test_native_lib_builds(self):
+        from stormx._native import load_hostrt
+
+        assert load_hostrt() is not None, "g++ build of hostrt.cpp failed"
+
+    def test_native_rcm_matches_python(self):
+        from stormx.parallel.partition import _csr_adjacency, _rcm_python
+        from stormx._native import native_rcm_order
+
+        n, rows, cols = self._adjacency_case()
+        ptr, c, deg = _csr_adjacency(n, rows, cols)
+        native = native_rcm_order(ptr, c)
+        assert native is not None
+        np.testing.assert_array_equal(native, _rcm_python(n, ptr, c, deg))
+
+    def test_native_bfs_matches_python(self):
+        from stormx.parallel.partition import _bfs_partition_python, _csr_adjacency
+        from stormx._native import native_bfs_partition
+
+        n, rows, cols = self._adjacency_case()
+        ptr, c, deg = _csr_adjacency(n, rows, cols)
+        for k in (2, 3, 8):
+            native = native_bfs_partition(ptr, c, k)
+            assert native is not None
+            np.testing.assert_array_equal(
+                native, _bfs_partition_python(n, ptr, c, deg, k)
+            )
+
+    def test_bfs_partition_balanced(self):
+        from stormx.parallel import bfs_partition
+
+        # 2D grid graph: parts must be balanced and boundaries thin.
+        nx = 16
+        n = nx * nx
+        idx = np.arange(n)
+        i, j = idx // nx, idx % nx
+        r = np.concatenate([idx[i < nx - 1], idx[j < nx - 1]])
+        c = np.concatenate([idx[i < nx - 1] + nx, idx[j < nx - 1] + 1])
+        part = bfs_partition(n, r, c, 4)
+        sizes = np.bincount(part, minlength=4)
+        assert sizes.max() <= -(-n // 4)
+        assert sizes.min() >= n // 4 - 1
+        # Edge cut should be far below the total edge count.
+        cut = int(np.sum(part[r] != part[c]))
+        assert cut < len(r) // 4
+
+
+@pytest.mark.parametrize("method", ["rcm-blocks", "bfs"])
+def test_partition_methods_invariant_history(spd_problem, method):
+    """Both layout methods reproduce the serial convergence history."""
+    a, csr, b = spd_problem
+    serial = solve(make_operator(csr.matvec), jnp.asarray(b), method="cg")
+    res = sharded_solve(partition_csr(csr, 4, method=method), b, method="cg")
+    assert bool(res.converged)
+    hs = np.asarray(serial.history)
+    hp = np.asarray(res.history)
+    k = int(serial.num_iterations) + 1
+    np.testing.assert_allclose(hp[:k], hs[:k], rtol=1e-10)
+
+
+def test_bfs_method_matvec(spd_problem):
+    a, csr, _ = spd_problem
+    x = np.random.default_rng(2).standard_normal(a.shape[0])
+    pop = partition_csr(csr, 4, method="bfs")
+    mv = sharded_matvec(pop, make_device_mesh(4))
+    y = unpartition_vector(pop, mv(partition_vector(pop, x)))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-10)
