@@ -8,6 +8,7 @@ from stormx.core.config import (
 from stormx.core.exceptions import SolverBreakdownError, StormError, StormIoError
 from stormx.core.logging import get_logger
 from stormx.core.banner import print_banner
+from stormx.core.profiling import Timer, annotate, trace
 
 __all__ = [
     "default_int_dtype",
@@ -20,4 +21,7 @@ __all__ = [
     "StormIoError",
     "get_logger",
     "print_banner",
+    "Timer",
+    "annotate",
+    "trace",
 ]

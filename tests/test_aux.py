@@ -1,0 +1,117 @@
+"""Auxiliary-subsystem tests: checkpoint/resume, viz export, profiling."""
+
+import os
+
+import numpy as np
+import pytest
+
+from stormx.io import (
+    Checkpointer,
+    latest_step,
+    load_checkpoint,
+    plot_cell_field,
+    plot_convergence,
+    save_checkpoint,
+    visualize_mesh,
+    write_vtk,
+)
+
+
+@pytest.fixture
+def tri_mesh():
+    from stormx.mesh import build_mesh
+
+    nx = 4
+    xs = np.linspace(0, 1, nx + 1)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    nodes = np.stack([X.ravel(), Y.ravel()], axis=1)
+    cells = []
+    for i in range(nx):
+        for j in range(nx):
+            a = i * (nx + 1) + j
+            b = (i + 1) * (nx + 1) + j
+            cells.append([a, b, b + 1])
+            cells.append([a, b + 1, a + 1])
+    return build_mesh(nodes, np.asarray(cells))
+
+
+class TestCheckpoint:
+    def test_roundtrip_pytree(self, tmp_path, rng):
+        state = {
+            "c": rng.standard_normal(20),
+            "step_data": (np.int64(7), rng.standard_normal((3, 4))),
+        }
+        save_checkpoint(str(tmp_path), 100, state)
+        restored, step = load_checkpoint(str(tmp_path), like=state)
+        assert step == 100
+        np.testing.assert_array_equal(restored["c"], state["c"])
+        np.testing.assert_array_equal(restored["step_data"][1], state["step_data"][1])
+
+    def test_latest_and_prune(self, tmp_path, rng):
+        ck = Checkpointer(str(tmp_path), every=10, keep=2)
+        for step in range(0, 50, 5):
+            ck.maybe_save(step, {"x": rng.standard_normal(4)})
+        assert latest_step(str(tmp_path)) == 40
+        kept = sorted(os.listdir(tmp_path))
+        assert len(kept) == 2  # keep=2 prunes the rest
+
+    def test_layout_mismatch_raises(self, tmp_path, rng):
+        save_checkpoint(str(tmp_path), 0, {"x": rng.standard_normal(4)}, num_parts=4)
+        with pytest.raises(ValueError, match="num_parts"):
+            load_checkpoint(str(tmp_path), num_parts=8)
+
+    def test_orbax_backend(self, tmp_path, rng):
+        state = {"x": rng.standard_normal(6)}
+        save_checkpoint(str(tmp_path), 3, state, backend="orbax")
+        restored, step = load_checkpoint(str(tmp_path), like=state)
+        assert step == 3
+        np.testing.assert_allclose(restored["x"], state["x"])
+
+
+class TestViz:
+    def test_visualize_mesh_png(self, tri_mesh, tmp_path):
+        p = str(tmp_path / "mesh.png")
+        visualize_mesh(tri_mesh, p)
+        assert os.path.getsize(p) > 1000
+
+    def test_plot_cell_field_png(self, tri_mesh, tmp_path, rng):
+        p = str(tmp_path / "field.png")
+        plot_cell_field(tri_mesh, rng.standard_normal(tri_mesh.num_cells), p)
+        assert os.path.getsize(p) > 1000
+
+    def test_plot_convergence(self, tmp_path, rng):
+        p = str(tmp_path / "conv.png")
+        plot_convergence({"cg": np.geomspace(1, 1e-8, 20)}, p)
+        assert os.path.getsize(p) > 1000
+
+    def test_vtk_roundtrip_header(self, tri_mesh, tmp_path, rng):
+        p = str(tmp_path / "out.vtk")
+        write_vtk(tri_mesh, p, {"c": rng.standard_normal(tri_mesh.num_cells)})
+        text = open(p).read()
+        assert "UNSTRUCTURED_GRID" in text and "CELL_DATA" in text
+
+
+class TestProfiling:
+    def test_timer_sections(self):
+        import time
+
+        from stormx.core import Timer
+
+        t = Timer()
+        with t("a"):
+            time.sleep(0.01)
+        with t("a"):
+            pass
+        report = t.report()
+        assert "a:" in report and t.counts["a"] == 2
+
+    def test_annotate_and_trace(self, tmp_path):
+        import jax.numpy as jnp
+
+        from stormx.core import annotate, trace
+
+        with trace(str(tmp_path)):
+            with annotate("region"):
+                jnp.arange(8).sum().block_until_ready()
+        # trace directory should contain profiler artifacts
+        assert any(os.scandir(tmp_path))
