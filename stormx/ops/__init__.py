@@ -1,5 +1,6 @@
 from stormx.ops.math import safe_divide, safe_inverse, sign, sym_ortho
 from stormx.ops import vector
+from stormx.ops.dense import AABB, aabb_of, cross_product, inverse_lu, solve_lu
 from stormx.ops.segment import segment_max, segment_min, segment_sum
 
 __all__ = [
@@ -11,4 +12,9 @@ __all__ = [
     "segment_sum",
     "segment_min",
     "segment_max",
+    "AABB",
+    "aabb_of",
+    "cross_product",
+    "solve_lu",
+    "inverse_lu",
 ]

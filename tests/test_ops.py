@@ -96,3 +96,34 @@ class TestVectorOps:
         b = {"u": jnp.array([2.0])}
         np.testing.assert_allclose(v.tree_where(True, a, b)["u"], [1.0])
         np.testing.assert_allclose(v.tree_where(False, a, b)["u"], [2.0])
+
+
+class TestDenseHelpers:
+    def test_aabb(self, rng):
+        from stormx.ops import aabb_of
+
+        pts = rng.standard_normal((50, 3))
+        box = aabb_of(pts)
+        np.testing.assert_array_equal(box.min, pts.min(axis=0))
+        np.testing.assert_array_equal(box.max, pts.max(axis=0))
+        grown = box.extend(jnp.asarray([10.0, 0.0, 0.0]))
+        assert float(grown.max[0]) == 10.0
+        np.testing.assert_allclose(box.center, (pts.min(0) + pts.max(0)) / 2)
+
+    def test_cross_product(self, rng):
+        from stormx.ops import cross_product
+
+        a3, b3 = rng.standard_normal((2, 3))
+        np.testing.assert_allclose(cross_product(a3, b3), np.cross(a3, b3), rtol=1e-12)
+        a2, b2 = rng.standard_normal((2, 2))
+        np.testing.assert_allclose(
+            cross_product(a2, b2), a2[0] * b2[1] - a2[1] * b2[0], rtol=1e-12
+        )
+
+    def test_lu_solve_inverse(self, rng):
+        from stormx.ops import inverse_lu, solve_lu
+
+        a = rng.standard_normal((6, 6)) + 6 * np.eye(6)
+        b = rng.standard_normal(6)
+        np.testing.assert_allclose(solve_lu(a, b), np.linalg.solve(a, b), rtol=1e-10)
+        np.testing.assert_allclose(inverse_lu(a), np.linalg.inv(a), rtol=1e-10)
