@@ -58,10 +58,54 @@ def make_step(dmesh, *, tau=TAU, gamma=GAMMA_CH, sigma=SIGMA, options=None):
     return jax.jit(step)
 
 
-def run(dmesh, c0, num_steps: int, **kw):
-    """Time loop (Playground.cpp:187-209); returns the final concentration."""
+def run(
+    dmesh,
+    c0,
+    num_steps: int,
+    *,
+    mesh=None,
+    output_every: int | None = None,
+    output_dir: str = ".",
+    checkpointer=None,
+    start_step: int = 0,
+    **kw,
+):
+    """Time loop (Playground.cpp:187-209); returns the final concentration.
+
+    Mirrors the Playground driver's side channels: ``output_every`` writes
+    ``out_cahn_hilliard_<k>.vtk`` snapshots (≙ ``save_vtk``, :66-109,207-208
+    — needs ``mesh``), and a :class:`stormx.io.Checkpointer` makes the run
+    restartable (``start_step`` resumes counting).
+    """
     step = make_step(dmesh, **kw)
     c = c0
-    for _ in range(num_steps):
+    for k in range(start_step, start_step + num_steps):
         c, _ = step(c)
+        if output_every and mesh is not None and (k + 1) % output_every == 0:
+            import os
+
+            from stormx.io import write_vtk
+
+            write_vtk(
+                mesh,
+                os.path.join(output_dir, f"out_cahn_hilliard_{k + 1}.vtk"),
+                {"c": c},
+            )
+        if checkpointer is not None:
+            checkpointer.maybe_save(k + 1, {"c": c, "step": k + 1})
     return c
+
+
+def main(mesh_prefix: str, num_steps: int = 200, seed: int = 0):
+    """Playground ``main`` analog: load mesh, random init, march, snapshot."""
+    import numpy as np
+
+    from stormx.core import print_banner
+    from stormx.mesh import read_tetgen
+
+    print_banner()
+    mesh = read_tetgen(mesh_prefix)
+    dmesh = mesh.device_arrays()
+    rng = np.random.default_rng(seed)
+    c0 = jnp.asarray(0.5 + 0.1 * rng.standard_normal(mesh.num_cells))
+    return run(dmesh, c0, num_steps, mesh=mesh, output_every=max(1, num_steps // 10))

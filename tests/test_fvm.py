@@ -330,3 +330,44 @@ class TestDivGradDia:
 
         with pytest.raises(ValueError, match="diagonals"):
             assemble_divgrad_dia(self._mesh(), max_diags=2)
+
+
+class TestCahnHilliardDriver:
+    def test_run_with_snapshots_and_checkpoint(self, tmp_path, rng):
+        import os
+
+        import __graft_entry__ as g
+        from stormx.apps.cahn_hilliard import run
+        from stormx.io import Checkpointer, load_checkpoint
+
+        mesh = g._structured_tri_mesh(4, 4)
+        dmesh = mesh.device_arrays()
+        c0 = jnp.asarray(0.5 + 0.1 * rng.standard_normal(mesh.num_cells))
+        ck = Checkpointer(str(tmp_path / "ck"), every=2, keep=2)
+        c = run(
+            dmesh,
+            c0,
+            4,
+            mesh=mesh,
+            output_every=2,
+            output_dir=str(tmp_path),
+            checkpointer=ck,
+        )
+        assert np.isfinite(np.asarray(c)).all()
+        vtks = [f for f in os.listdir(tmp_path) if f.endswith(".vtk")]
+        assert len(vtks) == 2
+        (state, step) = load_checkpoint(str(tmp_path / "ck"), like={"c": c, "step": 0})
+        assert step == 4
+        np.testing.assert_allclose(np.asarray(state["c"]), np.asarray(c), rtol=1e-12)
+
+    def test_resume_matches_uninterrupted(self, rng):
+        import __graft_entry__ as g
+        from stormx.apps.cahn_hilliard import run
+
+        mesh = g._structured_tri_mesh(4, 4)
+        dmesh = mesh.device_arrays()
+        c0 = jnp.asarray(0.5 + 0.1 * rng.standard_normal(mesh.num_cells))
+        full = run(dmesh, c0, 4)
+        half = run(dmesh, c0, 2)
+        resumed = run(dmesh, half, 2, start_step=2)
+        np.testing.assert_allclose(np.asarray(resumed), np.asarray(full), rtol=1e-12)
