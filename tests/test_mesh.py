@@ -195,3 +195,69 @@ class TestStepMesh:
         assert len(m.boundary_faces()) > 0
         assert (m.face_labels[m.boundary_faces()] >= 1).all()
         assert (m.face_labels[m.interior_faces()] == 0).all()
+
+
+def cube_tet_mesh(nx=3):
+    """Unit cube, each voxel split into 6 tetrahedra (3D end-to-end fixture)."""
+    xs = np.linspace(0, 1, nx + 1)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    nodes = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    def nid(i, j, k):
+        return (i * (nx + 1) + j) * (nx + 1) + k
+
+    # 6-tet Kuhn subdivision of each cube.
+    corners = lambda i, j, k: [
+        nid(i, j, k), nid(i + 1, j, k), nid(i, j + 1, k), nid(i + 1, j + 1, k),
+        nid(i, j, k + 1), nid(i + 1, j, k + 1), nid(i, j + 1, k + 1), nid(i + 1, j + 1, k + 1),
+    ]
+    KUHN = [(0, 1, 3, 7), (0, 1, 5, 7), (0, 2, 3, 7), (0, 2, 6, 7), (0, 4, 5, 7), (0, 4, 6, 7)]
+    cells = []
+    for i in range(nx):
+        for j in range(nx):
+            for k in range(nx):
+                c = corners(i, j, k)
+                for t in KUHN:
+                    cells.append([c[v] for v in t])
+    return build_mesh(nodes, np.asarray(cells))
+
+
+class TestMesh3D:
+    def test_build_and_geometry(self):
+        m = cube_tet_mesh(2)
+        assert m.dim == 3
+        assert m.num_cells == 6 * 8
+        # Total volume = 1, each boundary side has area 1 (6 sides).
+        np.testing.assert_allclose(m.cell_volumes.sum(), 1.0, rtol=1e-12)
+        boundary = m.boundary_faces()
+        np.testing.assert_allclose(m.face_areas[boundary].sum(), 6.0, rtol=1e-12)
+
+    def test_face_normals_outward(self):
+        m = cube_tet_mesh(2)
+        boundary = m.boundary_faces()
+        centers = m.face_centers[boundary] - 0.5  # cube center at origin
+        dots = np.einsum("ij,ij->i", m.face_normals[boundary], centers)
+        assert (dots > 0).all()  # boundary normals point out of the domain
+
+    def test_poisson_cg_3d(self):
+        """3D end-to-end: CG on the div_grad operator of the tet mesh."""
+        import jax.numpy as jnp
+
+        from stormx.fvm.divgrad import div_grad
+        from stormx.solvers import SolverOptions, cg, make_operator
+
+        m = cube_tet_mesh(3)
+        dmesh = m.device_arrays()
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(m.num_cells)
+        b -= b.mean()  # pure-Neumann compatibility
+
+        def op(x):
+            # -divgrad + small shift to remove the nullspace
+            return -div_grad(dmesh, jnp.zeros_like(x), 1.0, x) + 1e-3 * x
+
+        res = cg(make_operator(op), jnp.asarray(b), jnp.zeros(m.num_cells),
+                 options=SolverOptions(num_iterations=500))
+        assert bool(res.converged)
+        r = np.asarray(op(res.x)) - b
+        assert np.abs(r).max() < 1e-5
