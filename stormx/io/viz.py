@@ -13,15 +13,23 @@ import numpy as np
 __all__ = ["visualize_mesh", "plot_cell_field", "plot_convergence"]
 
 
-def _tri_split(mesh):
-    """Triangulate cells (quads → two triangles) for matplotlib."""
+def _tri_split(mesh, with_cell_ids: bool = False):
+    """Triangulate cells (quads → fan of triangles) for matplotlib.
+
+    Handles hybrid meshes (−1-padded ``cell_nodes``): each cell emits
+    (its node count − 2) fan triangles.  With ``with_cell_ids`` also
+    returns the source cell of each triangle (for facecolor repetition).
+    """
     cells = np.asarray(mesh.cell_nodes)
-    if cells.shape[1] == 3:
-        return cells
-    tris = [cells[:, [0, 1, 2]]]
-    for k in range(3, cells.shape[1]):
-        tris.append(cells[:, [0, k - 1, k]])
-    return np.concatenate(tris, axis=0)
+    npc = (cells >= 0).sum(axis=1)
+    tris, ids = [], []
+    for k in range(3, cells.shape[1] + 1):
+        sel = npc >= k
+        tris.append(cells[sel][:, [0, k - 2, k - 1]])
+        ids.append(np.nonzero(sel)[0])
+    tris = np.concatenate(tris, axis=0)
+    ids = np.concatenate(ids)
+    return (tris, ids) if with_cell_ids else tris
 
 
 def visualize_mesh(mesh, path: str | None = None, *, show_edges: bool = True):
@@ -67,12 +75,9 @@ def plot_cell_field(mesh, values, path: str | None = None, *, cmap="viridis", ti
     if mesh.dim != 2:
         raise NotImplementedError("plot_cell_field renders 2-D meshes")
     pos = np.asarray(mesh.node_positions)
-    cells = np.asarray(mesh.cell_nodes)
     values = np.asarray(values).reshape(mesh.num_cells, -1)[:, 0]
-    tris = _tri_split(mesh)
-    # Repeat values for split quads.
-    reps = tris.shape[0] // cells.shape[0]
-    tri_vals = np.tile(values, reps)
+    tris, tri_ids = _tri_split(mesh, with_cell_ids=True)
+    tri_vals = values[tri_ids]
     fig, ax = plt.subplots(figsize=(7, 7))
     tpc = ax.tripcolor(pos[:, 0], pos[:, 1], tris, facecolors=tri_vals, cmap=cmap)
     fig.colorbar(tpc, ax=ax, shrink=0.8)

@@ -1,5 +1,17 @@
 from stormx.mesh import shapes
 from stormx.mesh.tetgen import read_tetgen
-from stormx.mesh.unstructured import DeviceMesh, UnstructuredMesh, build_mesh
+from stormx.mesh.unstructured import (
+    DeviceMesh,
+    UnstructuredMesh,
+    build_hybrid_mesh,
+    build_mesh,
+)
 
-__all__ = ["shapes", "read_tetgen", "DeviceMesh", "UnstructuredMesh", "build_mesh"]
+__all__ = [
+    "shapes",
+    "read_tetgen",
+    "DeviceMesh",
+    "UnstructuredMesh",
+    "build_mesh",
+    "build_hybrid_mesh",
+]

@@ -29,7 +29,7 @@ import numpy as np
 from stormx.core.exceptions import StormError
 from stormx.mesh import shapes
 
-__all__ = ["UnstructuredMesh", "DeviceMesh", "build_mesh"]
+__all__ = ["UnstructuredMesh", "DeviceMesh", "build_mesh", "build_hybrid_mesh"]
 
 INTERIOR = 0  # label 0 = interior entities (Mallard/Mesh.hpp:443-480)
 
@@ -44,8 +44,9 @@ class UnstructuredMesh:
 
     dim: int
     node_positions: np.ndarray  # (num_nodes, dim)
-    cell_nodes: np.ndarray  # (num_cells, nodes_per_cell)
-    cell_shape: int  # shapes.* type id (homogeneous; hybrid = groups)
+    cell_nodes: np.ndarray  # (num_cells, max_nodes_per_cell); -1 pads hybrid
+    cell_shape: int  # shapes.* type id; -1 for hybrid (see cell_shapes)
+    cell_shapes: np.ndarray = field(default=None)  # per-cell shape id (hybrid)
 
     # Derived connectivity.
     face_nodes: np.ndarray = field(default=None)  # (num_faces, npf)
@@ -238,6 +239,7 @@ def _register_device_mesh():
 _register_device_mesh()
 
 
+
 def build_mesh(
     node_positions: np.ndarray,
     cell_nodes: np.ndarray,
@@ -256,35 +258,74 @@ def build_mesh(
     cell_nodes = np.asarray(cell_nodes)
     dim = node_positions.shape[1]
     npc = cell_nodes.shape[1]
-
     if cell_shape is None:
         if dim == 2:
             cell_shape = {3: shapes.TRIANGLE, 4: shapes.QUADRANGLE}[npc]
         else:
             cell_shape = {4: shapes.TETRAHEDRON, 8: shapes.HEXAHEDRON}[npc]
+    return build_hybrid_mesh(
+        node_positions,
+        [(cell_nodes, cell_shape)],
+        boundary_face_labels=boundary_face_labels,
+    )
+
+
+def build_hybrid_mesh(
+    node_positions: np.ndarray,
+    groups: list,
+    *,
+    boundary_face_labels: dict | None = None,
+) -> UnstructuredMesh:
+    """Build a (possibly hybrid) mesh from per-shape cell groups.
+
+    ``groups``: list of ``(cell_nodes, shape_id)`` — e.g. a 2-D mesh mixing
+    triangles and quadrangles.  The reference supports hybrid meshes through
+    its per-shape ``pieces()`` decomposition (``Mallard/Shape.hpp:410-528``);
+    the TPU-native analog is exactly this group-by-shape-type layout
+    (SURVEY §7 hard-part 5): geometry is vectorized per group, faces are
+    deduplicated across all groups, and per-cell arrays are concatenated in
+    group order (``cell_shapes`` records each cell's type).
+    """
+    node_positions = np.asarray(node_positions, dtype=np.float64)
+    dim = node_positions.shape[1]
+    groups = [(np.asarray(cells), int(shape)) for cells, shape in groups]
 
     # --- fix inverted cells (2D): enforce CCW (positive signed area) ------
-    coords = node_positions[cell_nodes]
-    if dim == 2:
-        signed = shapes.volume(cell_shape, coords)
-        flipped = signed < 0
-        if flipped.any():
-            cell_nodes = cell_nodes.copy()
-            cell_nodes[flipped] = cell_nodes[flipped][:, ::-1]
-            coords = node_positions[cell_nodes]
+    fixed = []
+    for cells, shape in groups:
+        coords = node_positions[cells]
+        if dim == 2:
+            signed = shapes.volume(shape, coords)
+            flipped = signed < 0
+            if flipped.any():
+                cells = cells.copy()
+                cells[flipped] = cells[flipped][:, ::-1]
+        fixed.append((cells, shape))
+    groups = fixed
 
-    # --- derive faces ------------------------------------------------------
-    local_faces = (
-        shapes.SHAPE_FACES_2D[cell_shape] if dim == 2 else shapes.SHAPE_FACES_3D[cell_shape]
-    )
-    npf = len(local_faces[0])
-    fpc = len(local_faces)
-    # (num_cells * fpc, npf) face node tuples in cell-local (outward) order.
-    raw = np.concatenate(
-        [cell_nodes[:, list(lf)] for lf in local_faces], axis=0
-    )  # grouped by local face id; cell of row r = r % num_cells
-    ncells = len(cell_nodes)
-    raw_cell = np.tile(np.arange(ncells), fpc)
+    ncells = sum(len(cells) for cells, _ in groups)
+    cell_offsets = np.cumsum([0] + [len(cells) for cells, _ in groups])
+
+    # --- derive raw faces from every group --------------------------------
+    raw_list, raw_cell_list = [], []
+    npf_set = set()
+    for gi, (cells, shape) in enumerate(groups):
+        local_faces = (
+            shapes.SHAPE_FACES_2D[shape] if dim == 2 else shapes.SHAPE_FACES_3D[shape]
+        )
+        npf_set.update(len(lf) for lf in local_faces)
+        base = cell_offsets[gi]
+        for lf in local_faces:
+            raw_list.append(cells[:, list(lf)])
+            raw_cell_list.append(base + np.arange(len(cells)))
+    if len(npf_set) != 1:
+        raise StormError(
+            "mixed face arities not supported yet (e.g. 3D prism meshes); "
+            f"got faces with {sorted(npf_set)} nodes"
+        )
+    npf = npf_set.pop()
+    raw = np.concatenate(raw_list, axis=0)
+    raw_cell = np.concatenate(raw_cell_list, axis=0)
 
     key = np.sort(raw, axis=1)
     uniq, first_idx, inverse, counts = np.unique(
@@ -301,9 +342,6 @@ def build_mesh(
     face_nodes = raw[first_idx]
     face_cells = np.full((nfaces, 2), -1, dtype=np.int64)
     face_cells[:, 0] = raw_cell[first_idx]
-    # outer cell: the second occurrence (stable sort by face id keeps
-    # original row order within each group, so starts[f] recovers the first
-    # occurrence and starts[f]+1 the second).
     order = np.argsort(inverse, kind="stable")
     sorted_inv = inverse[order]
     sorted_cell = raw_cell[order]
@@ -311,8 +349,13 @@ def build_mesh(
     has_second = counts == 2
     second_cells = sorted_cell[np.minimum(starts + 1, len(order) - 1)]
     face_cells[:, 1] = np.where(has_second, second_cells, -1)
+    # The stable order sorts occurrences; ensure inner is the FIRST original
+    # occurrence (first_idx), outer the other one.
+    both = np.stack([sorted_cell[starts], second_cells], axis=1)
+    outer = np.where(both[:, 0] == face_cells[:, 0], both[:, 1], both[:, 0])
+    face_cells[:, 1] = np.where(has_second, outer, -1)
 
-    # --- labels --------------------------------------------------------------
+    # --- labels ------------------------------------------------------------
     face_labels = np.zeros(nfaces, dtype=np.int64)
     is_boundary = ~has_second
     face_labels[is_boundary] = 1
@@ -323,7 +366,7 @@ def build_mesh(
             if lbl is not None and is_boundary[i]:
                 face_labels[i] = max(int(lbl), 1)
 
-    # --- sort faces by label (stable), interior first ------------------------
+    # --- sort faces by label (stable), interior first ----------------------
     perm = np.argsort(face_labels, kind="stable")
     face_nodes = face_nodes[perm]
     face_cells = face_cells[perm]
@@ -331,18 +374,30 @@ def build_mesh(
     max_label = int(face_labels.max(initial=0))
     ranges = np.searchsorted(face_labels, np.arange(max_label + 2))
 
-    # --- geometry -------------------------------------------------------------
-    cell_volumes = np.abs(shapes.volume(cell_shape, coords))
-    cell_centers = shapes.barycenter(cell_shape, coords)
+    # --- per-cell geometry (vectorized per shape group) ---------------------
+    cell_volumes = np.empty(ncells)
+    cell_centers = np.empty((ncells, dim))
+    cell_shapes_arr = np.empty(ncells, dtype=np.int64)
+    max_npc = max(cells.shape[1] for cells, _ in groups)
+    cell_nodes_all = np.full((ncells, max_npc), -1, dtype=np.int64)
+    for gi, (cells, shape) in enumerate(groups):
+        lo, hi = cell_offsets[gi], cell_offsets[gi + 1]
+        coords = node_positions[cells]
+        cell_volumes[lo:hi] = np.abs(shapes.volume(shape, coords))
+        cell_centers[lo:hi] = shapes.barycenter(shape, coords)
+        cell_shapes_arr[lo:hi] = shape
+        cell_nodes_all[lo:hi, : cells.shape[1]] = cells
+
+    # --- face geometry ------------------------------------------------------
     fcoords = node_positions[face_nodes]
     if dim == 2:
         face_areas = shapes.volume(shapes.SEG, fcoords)
         face_normals = shapes.face_normal_2d(fcoords)
         face_centers = fcoords.mean(axis=1)
     else:
-        face_areas = np.abs(shapes.volume(shapes.TRIANGLE, fcoords)) if npf == 3 else None
-        if face_areas is None:
+        if npf != 3:
             raise StormError("3D non-triangle faces not yet grouped")
+        face_areas = np.abs(shapes.volume(shapes.TRIANGLE, fcoords))
         face_normals = shapes.face_normal_3d(fcoords)
         face_centers = fcoords.mean(axis=1)
 
@@ -356,11 +411,13 @@ def build_mesh(
     flip = np.einsum("fd,fd->f", face_normals, to_out) < 0
     face_normals[flip] *= -1.0
 
+    hybrid = len({shape for _, shape in groups}) > 1
     return UnstructuredMesh(
         dim=dim,
         node_positions=node_positions,
-        cell_nodes=cell_nodes,
-        cell_shape=cell_shape,
+        cell_nodes=cell_nodes_all if hybrid else groups[0][0],
+        cell_shape=-1 if hybrid else groups[0][1],
+        cell_shapes=cell_shapes_arr,
         face_nodes=face_nodes,
         face_cells=face_cells,
         face_labels=face_labels,

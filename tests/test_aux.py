@@ -115,3 +115,31 @@ class TestProfiling:
                 jnp.arange(8).sum().block_until_ready()
         # trace directory should contain profiler artifacts
         assert any(os.scandir(tmp_path))
+
+
+class TestHybridIO:
+    def _hybrid(self):
+        from stormx.mesh import build_hybrid_mesh, shapes
+
+        nodes = np.array([[0, 0], [1, 0], [2, 0], [0, 1], [1, 1], [2, 1]], dtype=float)
+        tris = np.array([[0, 1, 3], [1, 4, 3]])
+        quads = np.array([[1, 2, 5, 4]])
+        return build_hybrid_mesh(
+            nodes, [(tris, shapes.TRIANGLE), (quads, shapes.QUADRANGLE)]
+        )
+
+    def test_vtk_mixed_cells(self, tmp_path, rng):
+        m = self._hybrid()
+        p = str(tmp_path / "hybrid.vtk")
+        write_vtk(m, p, {"c": rng.standard_normal(m.num_cells)})
+        text = open(p).read()
+        assert "CELLS 3 13" in text  # 2 tris (1+3 each) + 1 quad (1+4)
+        lines = text.splitlines()
+        ti = lines.index("CELL_TYPES 3")
+        assert [lines[ti + 1], lines[ti + 2], lines[ti + 3]] == ["5", "5", "9"]
+
+    def test_viz_mixed_cells(self, tmp_path, rng):
+        m = self._hybrid()
+        p = str(tmp_path / "hybrid.png")
+        plot_cell_field(m, rng.standard_normal(m.num_cells), p)
+        assert os.path.getsize(p) > 1000

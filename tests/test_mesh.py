@@ -261,3 +261,58 @@ class TestMesh3D:
         assert bool(res.converged)
         r = np.asarray(op(res.x)) - b
         assert np.abs(r).max() < 1e-5
+
+
+class TestHybridMesh:
+    """Mixed triangle + quadrangle mesh (reference hybrid-shape support)."""
+
+    def _mesh(self):
+        from stormx.mesh import build_hybrid_mesh
+
+        # [0,2]x[0,1]: left unit square split into 2 triangles, right one quad.
+        #  3 --- 4 --- 5
+        #  |  \  |     |
+        #  0 --- 1 --- 2
+        nodes = np.array(
+            [[0, 0], [1, 0], [2, 0], [0, 1], [1, 1], [2, 1]], dtype=float
+        )
+        tris = np.array([[0, 1, 3], [1, 4, 3]])
+        quads = np.array([[1, 2, 5, 4]])
+        return build_hybrid_mesh(nodes, [(tris, shapes.TRIANGLE), (quads, shapes.QUADRANGLE)])
+
+    def test_geometry(self):
+        m = self._mesh()
+        assert m.num_cells == 3
+        assert m.cell_shape == -1
+        np.testing.assert_array_equal(
+            m.cell_shapes, [shapes.TRIANGLE, shapes.TRIANGLE, shapes.QUADRANGLE]
+        )
+        np.testing.assert_allclose(m.cell_volumes, [0.5, 0.5, 1.0])
+        np.testing.assert_allclose(m.cell_volumes.sum(), 2.0)
+        # Boundary = outer perimeter (length 6), interior = 2 shared edges.
+        boundary = m.boundary_faces()
+        np.testing.assert_allclose(m.face_areas[boundary].sum(), 6.0)
+        assert len(m.interior_faces()) == 2
+        # Padded cell_nodes: triangles end with -1.
+        assert m.cell_nodes.shape == (3, 4)
+        assert (m.cell_nodes[:2, 3] == -1).all()
+
+    def test_divgrad_solve(self, rng):
+        import jax.numpy as jnp
+
+        from stormx.fvm.divgrad import div_grad
+        from stormx.solvers import SolverOptions, bicgstab, make_operator
+
+        m = self._mesh()
+        dmesh = m.device_arrays()
+        b = rng.standard_normal(m.num_cells)
+
+        # div_grad carries the 1/volume weighting, so with mixed cell
+        # volumes the operator is nonsymmetric — use BiCGStab.
+        def op(x):
+            return -div_grad(dmesh, jnp.zeros_like(x), 1.0, x) + 0.1 * x
+
+        res = bicgstab(make_operator(op), jnp.asarray(b), jnp.zeros(m.num_cells),
+                       options=SolverOptions(num_iterations=100))
+        assert bool(res.converged)
+        assert np.abs(np.asarray(op(res.x)) - b).max() < 1e-6
