@@ -8,6 +8,11 @@ parallel and therefore the natural first preconditioners on a partitioned
 device mesh (each shard scales its own rows; no communication).
 """
 
+from stormx.precond.chebyshev import ChebyshevPreconditioner
 from stormx.precond.jacobi import BlockJacobiPreconditioner, JacobiPreconditioner
 
-__all__ = ["JacobiPreconditioner", "BlockJacobiPreconditioner"]
+__all__ = [
+    "JacobiPreconditioner",
+    "BlockJacobiPreconditioner",
+    "ChebyshevPreconditioner",
+]

@@ -290,3 +290,46 @@ class TestApi:
         assert bool(res.converged)
         np.testing.assert_allclose(res.x["u"], x_true["u"], atol=1e-7)
         np.testing.assert_allclose(res.x["w"], x_true["w"], atol=1e-7)
+
+
+class TestChebyshevPreconditioner:
+    def test_accelerates_cg_on_poisson(self):
+        import jax.numpy as jnp
+
+        from stormx.precond import ChebyshevPreconditioner
+        from stormx.solvers import SolverOptions, cg, make_operator
+
+        # 1D Poisson (tridiagonal), condition ~ (n/pi)^2 — slow for plain CG.
+        n = 128
+        def op(x):
+            left = jnp.concatenate([x[1:], jnp.zeros(1)])
+            right = jnp.concatenate([jnp.zeros(1), x[:-1]])
+            return 2.0 * x - left - right
+
+        rng = np.random.default_rng(0)
+        b = jnp.asarray(rng.standard_normal(n))
+        opts = SolverOptions(num_iterations=400, absolute_tolerance=1e-10,
+                             relative_tolerance=1e-10)
+        plain = cg(make_operator(op), b, jnp.zeros(n), options=opts)
+        pre = ChebyshevPreconditioner(degree=8)
+        res = cg(make_operator(op), b, jnp.zeros(n), precond=pre, options=opts)
+        assert bool(res.converged)
+        assert int(res.num_iterations) < int(plain.num_iterations) / 2
+        # True solution check.
+        r = np.asarray(op(res.x) - b)
+        assert np.abs(r).max() < 1e-7
+
+    def test_polynomial_is_spectrally_accurate(self):
+        import jax.numpy as jnp
+
+        from stormx.precond import ChebyshevPreconditioner
+        from stormx.solvers import make_operator
+
+        # Diagonal operator with known spectrum in [1, 10].
+        lam = jnp.linspace(1.0, 10.0, 32)
+        op = make_operator(lambda x: lam * x)
+        pre = ChebyshevPreconditioner(degree=10, lambda_max=10.0, ratio=10.0)
+        pre.build(None, jnp.ones(32), op)
+        z = pre(jnp.ones(32))
+        # P(A)·1 ≈ A^{-1}·1 elementwise for eigenvalues inside the interval.
+        np.testing.assert_allclose(np.asarray(z), 1.0 / np.asarray(lam), rtol=0.05)
