@@ -8,6 +8,7 @@ from stormx.core.config import (
 from stormx.core.exceptions import SolverBreakdownError, StormError, StormIoError
 from stormx.core.logging import get_logger
 from stormx.core.banner import print_banner
+from stormx.core.debug import assert_deterministic, checked, enable_nan_checks
 from stormx.core.profiling import Timer, annotate, trace
 
 __all__ = [
@@ -22,6 +23,9 @@ __all__ = [
     "get_logger",
     "print_banner",
     "Timer",
+    "assert_deterministic",
+    "checked",
+    "enable_nan_checks",
     "annotate",
     "trace",
 ]

@@ -143,3 +143,34 @@ class TestHybridIO:
         p = str(tmp_path / "hybrid.png")
         plot_cell_field(m, rng.standard_normal(m.num_cells), p)
         assert os.path.getsize(p) > 1000
+
+
+class TestDebug:
+    def test_checked_catches_nan(self):
+        import jax.numpy as jnp
+
+        from stormx.core import checked
+
+        err, out = checked(lambda x: jnp.log(x))(jnp.asarray(-1.0))
+        with pytest.raises(Exception):
+            err.throw()
+
+    def test_checked_clean(self):
+        import jax.numpy as jnp
+
+        from stormx.core import checked
+
+        err, out = checked(lambda x: x * 2)(jnp.asarray(3.0))
+        err.throw()  # no error
+        assert float(out) == 6.0
+
+    def test_assert_deterministic_sharded_solve(self, rng):
+        from conftest import make_spd_matrix
+        from stormx.core import assert_deterministic
+        from stormx.parallel import partition_csr, sharded_solve
+        from stormx.sparse import csr_from_dense
+
+        a = make_spd_matrix(32, rng, density=0.2)
+        pop = partition_csr(csr_from_dense(a), 4)
+        b = rng.standard_normal(32)
+        assert_deterministic(lambda: np.asarray(sharded_solve(pop, b, method="cg").x))
