@@ -25,9 +25,30 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
+
+# Watchdog: device attach / remote compile can hang indefinitely when the
+# TPU relay is wedged (observed after Mosaic kernel faults).  Exit with an
+# error rather than hanging the driver.
+_DEADLINE_S = int(os.environ.get("STORMX_BENCH_DEADLINE_S", "480"))
+
+
+def _watchdog():
+    time.sleep(_DEADLINE_S)
+    print(
+        f"bench.py: exceeded {_DEADLINE_S}s (TPU attach/compile hang?); aborting",
+        file=sys.stderr,
+        flush=True,
+    )
+    os._exit(2)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 NX = 2048  # 4.19M rows, 20.9M nnz — HBM-bandwidth-bound on one chip
 REPS = 200
