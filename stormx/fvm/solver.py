@@ -53,3 +53,21 @@ class FvSolver:
 
     def jitted_step(self):
         return jax.jit(self.step)
+
+    def march(self, u0, dt, num_steps: int):
+        """``num_steps`` forward-Euler steps as ONE jitted ``lax.scan``.
+
+        The whole time loop is a single device dispatch — on TPU this
+        removes per-step host round trips entirely (the reference's loop,
+        ``Playground.cpp:231-243``, re-enters C++ per step).
+        """
+
+        @jax.jit
+        def run(u):
+            def body(u, _):
+                return self.step(u, dt), None
+
+            out, _ = jax.lax.scan(body, u, None, length=num_steps)
+            return out
+
+        return run(u0)

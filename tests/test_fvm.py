@@ -371,3 +371,23 @@ class TestCahnHilliardDriver:
         half = run(dmesh, c0, 2)
         resumed = run(dmesh, half, 2, start_step=2)
         np.testing.assert_allclose(np.asarray(resumed), np.asarray(full), rtol=1e-12)
+
+
+class TestFvSolverMarch:
+    def test_march_matches_step_loop(self, rng):
+        import __graft_entry__ as g
+        from stormx.apps.euler import initial_state
+        from stormx.fvm.solver import FvSolver
+
+        from stormx.fvm.bc import far_field_bc
+
+        mesh = g._structured_tri_mesh(4, 4)
+        dmesh = mesh.device_arrays()
+        solver = FvSolver(dmesh, order=1, bcs={1: far_field_bc})
+        u0 = initial_state(mesh.num_cells)
+        step = solver.jitted_step()
+        u_loop = u0
+        for _ in range(5):
+            u_loop = step(u_loop, 1e-4)
+        u_scan = solver.march(u0, 1e-4, 5)
+        np.testing.assert_allclose(np.asarray(u_scan), np.asarray(u_loop), rtol=1e-12)
