@@ -27,6 +27,7 @@ __all__ = [
     "HEXAHEDRON",
     "SHAPE_FACES_2D",
     "SHAPE_FACES_3D",
+    "SHAPE_EDGES_3D",
     "volume",
     "barycenter",
     "face_normal_2d",
@@ -71,6 +72,26 @@ SHAPE_FACES_3D = {
         (2, 3, 7, 6),
         (0, 4, 7, 3),
         (4, 5, 6, 7),
+    ],
+}
+
+# Edges (local node index pairs) of 3D cells, reference Shape.hpp:559-854
+# (``edges()`` lists of each shape).
+SHAPE_EDGES_3D = {
+    TETRAHEDRON: [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (2, 3)],
+    PYRAMID: [
+        (0, 1), (1, 2), (2, 3), (3, 0),
+        (0, 4), (1, 4), (2, 4), (3, 4),
+    ],
+    PENTAHEDRON: [
+        (0, 1), (1, 2), (2, 0),
+        (3, 4), (4, 5), (5, 3),
+        (0, 3), (1, 4), (2, 5),
+    ],
+    HEXAHEDRON: [
+        (0, 1), (1, 2), (2, 3), (3, 0),
+        (4, 5), (5, 6), (6, 7), (7, 4),
+        (0, 4), (1, 5), (2, 6), (3, 7),
     ],
 }
 

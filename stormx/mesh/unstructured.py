@@ -99,6 +99,80 @@ class UnstructuredMesh:
         return np.arange(r[label], r[label + 1])
 
     # ------------------------------------------------------------------
+    # Full n-to-m connectivity (reference: the (TopoDim+1)² table matrix of
+    # UnstructuredMesh, ``Mallard/MeshUnstructured.hpp:81-129``).  Derived
+    # lazily as CSR (row_ptr, cols) pairs — the reference precomputes all of
+    # them eagerly; here only faces/cells are eager (the FVM hot path) and
+    # the rest are one vectorized pass on demand.
+    # ------------------------------------------------------------------
+    def edge_nodes(self) -> np.ndarray:
+        """Unique edges as sorted (n0, n1) pairs.
+
+        In 2D edges ARE the faces; in 3D they are derived from the cell
+        shape catalog (``shapes.SHAPE_EDGES_3D``).
+        """
+        if self.dim == 2:
+            return np.sort(self.face_nodes, axis=1)
+        pairs = []
+        for shape in np.unique(self.cell_shapes):
+            sel = self.cell_shapes == shape
+            cells = self.cell_nodes[sel]
+            for e in shapes.SHAPE_EDGES_3D[int(shape)]:
+                pairs.append(cells[:, list(e)])
+        pairs = np.sort(np.concatenate(pairs, axis=0), axis=1)
+        return np.unique(pairs, axis=0)
+
+    @property
+    def num_edges(self) -> int:
+        return len(self.edge_nodes())
+
+    def _csr_from_pairs(self, rows, cols, nrows):
+        order = np.lexsort((cols, rows))
+        rows, cols = rows[order], cols[order]
+        keep = np.ones(len(rows), dtype=bool)
+        keep[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+        rows, cols = rows[keep], cols[keep]
+        ptr = np.zeros(nrows + 1, dtype=np.int64)
+        np.add.at(ptr, rows + 1, 1)
+        return np.cumsum(ptr), cols
+
+    def node_cells_csr(self):
+        """node → incident cells as (row_ptr, cols)."""
+        valid = self.cell_nodes >= 0
+        rows = self.cell_nodes[valid]
+        cols = np.broadcast_to(
+            np.arange(self.num_cells)[:, None], self.cell_nodes.shape
+        )[valid]
+        return self._csr_from_pairs(rows, cols, self.num_nodes)
+
+    def node_nodes_csr(self):
+        """node → edge-connected neighbor nodes as (row_ptr, cols)."""
+        e = self.edge_nodes()
+        rows = np.concatenate([e[:, 0], e[:, 1]])
+        cols = np.concatenate([e[:, 1], e[:, 0]])
+        return self._csr_from_pairs(rows, cols, self.num_nodes)
+
+    def cell_cells_csr(self):
+        """cell → face-adjacent cells as (row_ptr, cols)."""
+        interior = self.interior_faces()
+        inner = self.face_cells[interior, 0]
+        outer = self.face_cells[interior, 1]
+        rows = np.concatenate([inner, outer])
+        cols = np.concatenate([outer, inner])
+        return self._csr_from_pairs(rows, cols, self.num_cells)
+
+    def cell_faces_csr(self):
+        """cell → incident faces as (row_ptr, cols)."""
+        has_outer = self.face_cells[:, 1] >= 0
+        rows = np.concatenate(
+            [self.face_cells[:, 0], self.face_cells[has_outer, 1]]
+        )
+        cols = np.concatenate(
+            [np.arange(self.num_faces), np.nonzero(has_outer)[0]]
+        )
+        return self._csr_from_pairs(rows, cols, self.num_cells)
+
+    # ------------------------------------------------------------------
     def device_arrays(self, dtype=None) -> "DeviceMesh":
         import jax.numpy as jnp
 

@@ -316,3 +316,56 @@ class TestHybridMesh:
                        options=SolverOptions(num_iterations=100))
         assert bool(res.converged)
         assert np.abs(np.asarray(op(res.x)) - b).max() < 1e-6
+
+
+class TestConnectivityTables:
+    """The reference's (TopoDim+1)^2 adjacency matrix, derived lazily as CSR."""
+
+    def test_edges_2d_equal_faces(self, ):
+        m = read_tetgen(STEP_PREFIX) if False else None
+        # structured tri mesh is enough
+        import __graft_entry__ as g
+
+        m = g._structured_tri_mesh(3, 3)
+        e = m.edge_nodes()
+        assert len(e) == m.num_faces  # 2D: edges are faces
+        assert (e[:, 0] < e[:, 1]).all()
+
+    def test_edges_3d_tet_count(self):
+        m = cube_tet_mesh(1)  # 6 tets in one cube
+        e = m.edge_nodes()
+        # Kuhn subdivision of a cube: 8 corners, 12 cube edges + 6 face
+        # diagonals + 1 body diagonal = 19 unique edges.
+        assert len(e) == 19
+        assert m.num_edges == 19
+
+    def test_node_cells_csr(self):
+        import __graft_entry__ as g
+
+        m = g._structured_tri_mesh(2, 2)
+        ptr, cols = m.node_cells_csr()
+        assert ptr[-1] == (m.cell_nodes >= 0).sum()
+        # Every cell appears exactly cell-node-count times.
+        counts = np.bincount(cols, minlength=m.num_cells)
+        np.testing.assert_array_equal(counts, (m.cell_nodes >= 0).sum(axis=1))
+
+    def test_node_nodes_symmetric(self):
+        import __graft_entry__ as g
+
+        m = g._structured_tri_mesh(2, 2)
+        ptr, cols = m.node_nodes_csr()
+        rows = np.repeat(np.arange(m.num_nodes), np.diff(ptr))
+        fwd = set(zip(rows.tolist(), cols.tolist()))
+        assert all((c, r) in fwd for r, c in fwd)
+
+    def test_cell_cells_matches_faces(self):
+        import __graft_entry__ as g
+
+        m = g._structured_tri_mesh(2, 2)
+        ptr, cols = m.cell_cells_csr()
+        assert ptr[-1] == 2 * len(m.interior_faces())
+
+    def test_cell_faces_csr(self):
+        m = cube_tet_mesh(1)
+        ptr, cols = m.cell_faces_csr()
+        np.testing.assert_array_equal(np.diff(ptr), np.full(m.num_cells, 4))  # tets
