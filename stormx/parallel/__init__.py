@@ -8,6 +8,7 @@ halo, and whole Krylov solves running inside a single ``shard_map`` region
 with ``psum`` reductions riding ICI.
 """
 
+from stormx.parallel.banded import PartitionedDIA, partition_dia, sharded_dia_solve
 from stormx.parallel.partition import (
     PartitionedOperator,
     bfs_partition,
@@ -20,6 +21,9 @@ from stormx.parallel.sharded import make_device_mesh, sharded_matvec, sharded_so
 
 __all__ = [
     "PartitionedOperator",
+    "PartitionedDIA",
+    "partition_dia",
+    "sharded_dia_solve",
     "bfs_partition",
     "partition_csr",
     "partition_vector",

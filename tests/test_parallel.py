@@ -204,3 +204,73 @@ def test_bfs_method_matvec(spd_problem):
     mv = sharded_matvec(pop, make_device_mesh(4))
     y = unpartition_vector(pop, mv(partition_vector(pop, x)))
     np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-10)
+
+
+class TestBandedDistributed:
+    """ppermute-halo DIA operator: the neighbor-exchange fast path."""
+
+    def _poisson_dia(self, nx):
+        from stormx.sparse import DIA
+
+        n = nx * nx
+        i = np.arange(n) // nx
+        j = np.arange(n) % nx
+        data = np.zeros((5, n))
+        data[0] = np.where(i > 0, -1.0, 0.0)
+        data[1] = np.where(j > 0, -1.0, 0.0)
+        data[2] = 4.0
+        data[3] = np.where(j < nx - 1, -1.0, 0.0)
+        data[4] = np.where(i < nx - 1, -1.0, 0.0)
+        return DIA(data=jnp.asarray(data), offsets=(-nx, -1, 0, 1, nx), shape=(n, n))
+
+    @pytest.mark.parametrize("p", [2, 4, 8])
+    def test_matvec_exact(self, p, rng):
+        from stormx.parallel import partition_dia
+
+        dia = self._poisson_dia(16)
+        n = dia.shape[0]
+        pdia = partition_dia(dia, p)
+        x = rng.standard_normal(n)
+        y_ref = np.asarray(dia @ jnp.asarray(x))
+
+        mesh = make_device_mesh(p)
+        from jax.sharding import PartitionSpec as P
+
+        local = pdia.local_matvec("parts")
+        mv = jax.jit(
+            jax.shard_map(
+                lambda xl, dl: local(xl[0], dl[0])[None],
+                mesh=mesh,
+                in_specs=(P("parts"), P("parts")),
+                out_specs=P("parts"),
+            )
+        )
+        xp = np.zeros(p * pdia.n_loc)
+        xp[:n] = x
+        y = np.asarray(mv(jnp.asarray(xp.reshape(p, -1)), pdia.data)).reshape(-1)[:n]
+        np.testing.assert_array_equal(y, y_ref)  # bit-exact
+
+    def test_cg_matches_serial(self):
+        from stormx.parallel import partition_dia, sharded_dia_solve
+        from stormx.solvers import make_operator, solve
+
+        dia = self._poisson_dia(16)
+        n = dia.shape[0]
+        b = np.ones(n)
+        serial = solve(make_operator(dia.matvec), jnp.asarray(b), method="cg")
+        res = sharded_dia_solve(
+            partition_dia(dia, 8), b, mesh=make_device_mesh(8), method="cg"
+        )
+        assert bool(res.converged)
+        assert int(res.num_iterations) == int(serial.num_iterations)
+        hs = np.asarray(serial.history)
+        hp = np.asarray(res.history)
+        k = int(serial.num_iterations) + 1
+        np.testing.assert_allclose(hp[:k], hs[:k], rtol=1e-10)
+
+    def test_halo_too_wide_raises(self):
+        from stormx.parallel import partition_dia
+
+        dia = self._poisson_dia(16)  # h = 16, n_loc at P=32 would be 8
+        with pytest.raises(ValueError, match="halo"):
+            partition_dia(dia, 32)
