@@ -66,12 +66,18 @@ def _shifted(win, q, r, tile_rows):
     return jnp.where(lane < LANE - r, ra, rb)
 
 
+def _win_rows(tile_rows: int, h_rows: int) -> int:
+    """Window rows: tile + halo each side + seam row, padded to a multiple
+    of 8 so the DMA and every sublane slice stay tile-aligned."""
+    raw = tile_rows + 2 * h_rows + 1
+    return -(-raw // 8) * 8
+
+
 def _spmv_kernel(offsets, h_rows, tile_rows, with_dot,
                  x_hbm, diag_ref, z_ref, dot_ref, win, sem):
     i = pl.program_id(0)
-    win_rows = tile_rows + 2 * h_rows + 1
     copy = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile_rows, win_rows), :], win, sem
+        x_hbm.at[pl.ds(i * tile_rows, _win_rows(tile_rows, h_rows)), :], win, sem
     )
     copy.start()
 
@@ -104,7 +110,9 @@ def _prepare(dia, x, tile_rows):
     # diag2d[d, tile i] is block (tile_rows, LANE); x_pad flat index
     # h_rows·LANE + j holds x[j] (one spare row for the lane-rotate seam).
     diag2d = diag.reshape(len(offsets), n_pad // LANE, LANE)
-    x_pad = jnp.pad(x, (h_rows * LANE, h_rows * LANE + (n_pad - n) + LANE))
+    # Tail padding covers the last tile's full aligned window.
+    tail_rows = _win_rows(tile_rows, h_rows) - tile_rows - h_rows
+    x_pad = jnp.pad(x, (h_rows * LANE, tail_rows * LANE + (n_pad - n)))
     x2d = x_pad.reshape(-1, LANE)
     return offsets, n, h_rows, n_pad, diag2d, x2d
 
@@ -138,7 +146,7 @@ def _spmv_call(dia, x, with_dot, tile_rows=_TILE_ROWS):
             jax.ShapeDtypeStruct((1, 1), acc_dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_rows + 2 * h_rows + 1, LANE), x.dtype),
+            pltpu.VMEM((_win_rows(tile_rows, h_rows), LANE), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret_default(),

@@ -9,10 +9,12 @@ device mesh (each shard scales its own rows; no communication).
 """
 
 from stormx.precond.chebyshev import ChebyshevPreconditioner
+from stormx.precond.multigrid import AmgPreconditioner
 from stormx.precond.jacobi import BlockJacobiPreconditioner, JacobiPreconditioner
 
 __all__ = [
     "JacobiPreconditioner",
     "BlockJacobiPreconditioner",
     "ChebyshevPreconditioner",
+    "AmgPreconditioner",
 ]

@@ -333,3 +333,53 @@ class TestChebyshevPreconditioner:
         z = pre(jnp.ones(32))
         # P(A)·1 ≈ A^{-1}·1 elementwise for eigenvalues inside the interval.
         np.testing.assert_allclose(np.asarray(z), 1.0 / np.asarray(lam), rtol=0.05)
+
+
+class TestAmgPreconditioner:
+    def _poisson_csr(self, nx):
+        from stormx.sparse import CSR
+
+        n = nx * nx
+        idx = np.arange(n)
+        i, j = idx // nx, idx % nx
+        rows, cols, vals = [idx], [idx], [np.full(n, 4.0)]
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ii, jj = i + di, j + dj
+            m = (ii >= 0) & (ii < nx) & (jj >= 0) & (jj < nx)
+            rows.append(idx[m]); cols.append((ii * nx + jj)[m])
+            vals.append(np.full(int(m.sum()), -1.0))
+        rows = np.concatenate(rows); cols = np.concatenate(cols); vals = np.concatenate(vals)
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        rp = np.zeros(n + 1, dtype=np.int64); np.add.at(rp, rows + 1, 1)
+        return CSR(data=jnp.asarray(vals), indices=jnp.asarray(cols.astype(np.int32)),
+                   row_ptr=jnp.asarray(np.cumsum(rp).astype(np.int32)), shape=(n, n))
+
+    def test_amg_beats_plain_cg(self):
+        from stormx.precond import AmgPreconditioner
+        from stormx.solvers import SolverOptions, cg, make_operator
+
+        csr = self._poisson_csr(32)  # 1024 unknowns, cond ~ 400
+        n = csr.shape[0]
+        rng = np.random.default_rng(0)
+        b = jnp.asarray(rng.standard_normal(n))
+        opts = SolverOptions(num_iterations=600, absolute_tolerance=1e-8,
+                             relative_tolerance=1e-8)
+        plain = cg(make_operator(csr.matvec), b, jnp.zeros(n), options=opts)
+        amg = AmgPreconditioner(csr)
+        assert len(amg._levels) >= 2  # actually coarsened multiple levels
+        pre = cg(make_operator(csr.matvec), b, jnp.zeros(n), precond=amg, options=opts)
+        assert bool(pre.converged)
+        assert int(pre.num_iterations) < int(plain.num_iterations) / 3
+        r = np.asarray(csr @ pre.x) - np.asarray(b)
+        assert np.abs(r).max() < 1e-6
+
+    def test_aggregate_covers_all(self):
+        from stormx.precond.multigrid import aggregate
+
+        csr = self._poisson_csr(8)
+        rp = np.asarray(csr.row_ptr).astype(np.int64)
+        agg = aggregate(rp, np.asarray(csr.indices).astype(np.int64),
+                        np.asarray(csr.data), 64)
+        assert (agg >= 0).all()
+        assert agg.max() < 64 // 2  # genuine coarsening
