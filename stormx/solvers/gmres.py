@@ -38,6 +38,7 @@ def _base_gmres(
     options: SolverOptions | None,
     restart: int,
     axis_name: str | None,
+    orthog: str = "mgs",
 ) -> SolveResult:
     opts = options or SolverOptions()
     m = restart
@@ -91,18 +92,34 @@ def _base_gmres(
         else:
             q_new = A(q_k)
 
-        # Modified Gram–Schmidt (:157-162).
         h = jnp.zeros((m + 1,), dtype=beta.dtype)
+        if orthog == "mgs":
+            # Modified Gram–Schmidt (:157-162) — the reference's scheme:
+            # k+1 sequential dot+axpy pairs.
 
-        def mgs_body(i, carry):
-            q_acc, h_acc = carry
-            q_i = v.get_stacked(Q, i)
-            hik = dot(q_acc, q_i)
-            h_acc = h_acc.at[i].set(hik)
-            q_acc = v.xpay(q_acc, -hik, q_i)
-            return q_acc, h_acc
+            def mgs_body(i, carry):
+                q_acc, h_acc = carry
+                q_i = v.get_stacked(Q, i)
+                hik = dot(q_acc, q_i)
+                h_acc = h_acc.at[i].set(hik)
+                q_acc = v.xpay(q_acc, -hik, q_i)
+                return q_acc, h_acc
 
-        q_new, h = lax.fori_loop(0, k + 1, mgs_body, (q_new, h))
+            q_new, h = lax.fori_loop(0, k + 1, mgs_body, (q_new, h))
+        elif orthog == "cgs2":
+            # Classical Gram–Schmidt with reorthogonalization ("CGS2",
+            # Giraud et al.): each pass is ONE stacked dot (an (m+1,n)@(n,)
+            # matvec on the MXU) + one stacked linear combination, instead
+            # of k+1 sequential reductions — the TPU-friendly choice, and
+            # under shard_map it needs one psum per pass instead of k+1.
+            # Numerically: two CGS passes are as stable as MGS for Arnoldi.
+            mask = (jnp.arange(m + 1) <= k).astype(beta.dtype)
+            for _ in range(2):
+                hk = v.dots_stacked(Q, q_new, axis_name=axis_name) * mask
+                q_new = v.sub(q_new, v.lincomb_stacked(hk, Q))
+                h = h + hk
+        else:
+            raise ValueError(f"unknown orthogonalization {orthog!r}")
         hk1 = norm(q_new)
         h = h.at[k + 1].set(hk1)
         q_new = v.scale(1.0 / hk1, q_new)
@@ -203,8 +220,12 @@ def gmres(
     options: SolverOptions | None = None,
     restart: int = 50,
     axis_name: str | None = None,
+    orthog: str = "mgs",
 ) -> SolveResult:
-    """Restarted GMRES (``SolverGmres.hpp:282-283``)."""
+    """Restarted GMRES (``SolverGmres.hpp:282-283``).
+
+    ``orthog``: "mgs" (reference parity) or "cgs2" (batched classical GS
+    with reorthogonalization — one MXU matvec + one psum per pass)."""
     return _base_gmres(
         op,
         b,
@@ -214,6 +235,7 @@ def gmres(
         options=options,
         restart=restart,
         axis_name=axis_name,
+        orthog=orthog,
     )
 
 
@@ -226,6 +248,7 @@ def fgmres(
     options: SolverOptions | None = None,
     restart: int = 50,
     axis_name: str | None = None,
+    orthog: str = "mgs",
 ) -> SolveResult:
     """Flexible GMRES (``SolverGmres.hpp:308-310``): right preconditioning
     only; zₖ stored per iteration so 𝓟 may vary between iterations."""
@@ -238,4 +261,5 @@ def fgmres(
         options=options,
         restart=restart,
         axis_name=axis_name,
+        orthog=orthog,
     )

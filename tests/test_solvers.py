@@ -383,3 +383,25 @@ class TestAmgPreconditioner:
                         np.asarray(csr.data), 64)
         assert (agg >= 0).all()
         assert agg.max() < 64 // 2  # genuine coarsening
+
+
+class TestGmresOrthogonalization:
+    @pytest.mark.parametrize("flexible", [False, True])
+    def test_cgs2_matches_mgs(self, rng, flexible):
+        from stormx.solvers import SolverOptions, fgmres, gmres, make_operator
+        from stormx.precond import JacobiPreconditioner
+
+        n = 48
+        a = make_nonsym_matrix(n, rng)
+        b = jnp.asarray(rng.standard_normal(n))
+        op = make_operator(lambda x: jnp.asarray(a) @ x)
+        opts = SolverOptions(num_iterations=300)
+        fn = fgmres if flexible else gmres
+        kw = dict(precond=JacobiPreconditioner(diag=jnp.asarray(np.diag(a)))) if flexible else {}
+        r_mgs = fn(op, b, jnp.zeros(n), options=opts, orthog="mgs", **kw)
+        r_cgs = fn(op, b, jnp.zeros(n), options=opts, orthog="cgs2", **kw)
+        assert bool(r_cgs.converged)
+        x_ref = np.linalg.solve(a, np.asarray(b))
+        np.testing.assert_allclose(np.asarray(r_cgs.x), x_ref, rtol=1e-4, atol=1e-6)
+        # Iteration counts agree (orthogonalization quality equivalent).
+        assert abs(int(r_cgs.num_iterations) - int(r_mgs.num_iterations)) <= 2
