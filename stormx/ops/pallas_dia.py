@@ -75,24 +75,39 @@ def _win_rows(tile_rows: int, h_rows: int) -> int:
 
 def _spmv_kernel(offsets, h_rows, tile_rows, with_dot,
                  x_hbm, diag_ref, z_ref, dot_ref, win, sem):
+    """Double-buffered window pipeline: tile i computes out of slot i%2
+    while tile i+1's window DMA streams into the other slot.  The diagonal
+    blocks and the output are pipelined automatically by their BlockSpecs;
+    only the halo-overlapped x window needs this manual treatment."""
     i = pl.program_id(0)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile_rows, _win_rows(tile_rows, h_rows)), :], win, sem
-    )
-    copy.start()
+    n_tiles = pl.num_programs(0)
+    w_rows = _win_rows(tile_rows, h_rows)
+
+    def copy_for(tile, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tile * tile_rows, w_rows), :],
+            win.at[slot],
+            sem.at[slot],
+        )
 
     @pl.when(i == 0)
     def _():
         dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+        copy_for(0, 0).start()
 
-    copy.wait()
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        copy_for(i + 1, (i + 1) % 2).start()
+
+    copy_for(i, i % 2).wait()
+    cur = win[i % 2]
     acc = jnp.zeros((tile_rows, LANE), dtype=z_ref.dtype)
     for d, off in enumerate(offsets):
         q, r = divmod(h_rows * LANE + off, LANE)
-        acc += diag_ref[d] * _shifted(win, q, r, tile_rows)
+        acc += diag_ref[d] * _shifted(cur, q, r, tile_rows)
     z_ref[...] = acc
     if with_dot:
-        center = win[h_rows : h_rows + tile_rows, :]
+        center = cur[h_rows : h_rows + tile_rows, :]
         dot_ref[0, 0] += jnp.sum(acc * center, dtype=dot_ref.dtype)
 
 
@@ -128,7 +143,7 @@ def _spmv_call(dia, x, with_dot, tile_rows=_TILE_ROWS):
         kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x2d stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x2d stays in HBM
             pl.BlockSpec(
                 (len(offsets), tile_rows, LANE),
                 lambda i: (0, i, 0),
@@ -146,8 +161,8 @@ def _spmv_call(dia, x, with_dot, tile_rows=_TILE_ROWS):
             jax.ShapeDtypeStruct((1, 1), acc_dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_win_rows(tile_rows, h_rows), LANE), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _win_rows(tile_rows, h_rows), LANE), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret_default(),
     )(x2d, diag2d)

@@ -197,6 +197,12 @@ def lincomb_stacked(coeffs, stacked: PyTree) -> PyTree:
     )
 
 
+def roll_stacked(stacked: PyTree, shift: int) -> PyTree:
+    """Circularly shift the stack axis (slot 0 ← slot m−1 for shift=1) —
+    used by LGMRES to age out the oldest augmentation direction."""
+    return jax.tree_util.tree_map(lambda sl: jnp.roll(sl, shift, axis=0), stacked)
+
+
 def tree_where(pred, a: PyTree, b: PyTree) -> PyTree:
     """Select between two pytrees on a scalar predicate (branch-free merge
     for masked loops over static ranges inside traced solver bodies)."""

@@ -12,6 +12,8 @@ from stormx.solvers.cg import cg
 from stormx.solvers.cgs import cgs
 from stormx.solvers.gmres import fgmres, gmres
 from stormx.solvers.idrs import idrs
+from stormx.solvers.lgmres import lfgmres, lgmres
+from stormx.solvers.lsqr import lsmr, lsqr
 from stormx.solvers.newton import jfnk, newton
 from stormx.solvers.operator import (
     LinearOperator,
@@ -39,6 +41,10 @@ SOLVERS = {
     "idrs": idrs,
     "gmres": gmres,
     "fgmres": fgmres,
+    "lgmres": lgmres,
+    "lfgmres": lfgmres,
+    "lsqr": lsqr,
+    "lsmr": lsmr,
     "newton": newton,
     "jfnk": jfnk,
 }
@@ -91,6 +97,10 @@ __all__ = [
     "idrs",
     "gmres",
     "fgmres",
+    "lgmres",
+    "lfgmres",
+    "lsqr",
+    "lsmr",
     "newton",
     "jfnk",
     "solve",
