@@ -25,9 +25,17 @@ __all__ = [
     "PYRAMID",
     "PENTAHEDRON",
     "HEXAHEDRON",
+    "TRIANGLE_STRIP",
+    "POLYGON",
     "SHAPE_FACES_2D",
     "SHAPE_FACES_3D",
     "SHAPE_EDGES_3D",
+    "shape_faces_2d",
+    "strip_pieces",
+    "polygon_pieces",
+    "strip_faces",
+    "polygon_faces",
+    "normalize_shape",
     "volume",
     "barycenter",
     "face_normal_2d",
@@ -42,6 +50,11 @@ TETRAHEDRON = 4
 PYRAMID = 5
 PENTAHEDRON = 6
 HEXAHEDRON = 7
+# Variable-arity 2D shapes (reference ``Shape.hpp:410-528``); a mesh group
+# of these fixes one node count k per group (3/4-node instances fall back to
+# triangle/quadrangle, mirroring the reference's ``type()`` fallback).
+TRIANGLE_STRIP = 8
+POLYGON = 9
 
 _NUM_NODES = {
     SEG: 2,
@@ -52,6 +65,69 @@ _NUM_NODES = {
     PENTAHEDRON: 6,
     HEXAHEDRON: 8,
 }
+
+
+def normalize_shape(shape_type: int, k: int) -> int:
+    """Variable-arity fallback (``Shape.hpp:426-433,498-505``): 3-node
+    strips/polygons are triangles; 4-node polygons are quadrangles.
+
+    Deviation from the reference: a 4-node *strip* stays a strip — its node
+    order (zig-zag) differs from the quadrangle's boundary order, so the
+    reference's blanket ``case 4: return Type::quadrangle`` would
+    mis-triangulate it."""
+    if shape_type in (TRIANGLE_STRIP, POLYGON) and k == 3:
+        return TRIANGLE
+    if shape_type == POLYGON and k == 4:
+        return QUADRANGLE
+    return shape_type
+
+
+def strip_pieces(k: int) -> list:
+    """Triangle pieces of a k-node strip: (i−2, i−1, i) sliding window
+    (``Shape.hpp:449-457``), winding flipped on odd steps so every piece has
+    consistent (CCW) orientation for signed-area accumulation."""
+    out = []
+    for i in range(2, k):
+        if i % 2 == 0:
+            out.append((i - 2, i - 1, i))
+        else:
+            out.append((i - 1, i - 2, i))
+    return out
+
+
+def polygon_pieces(k: int) -> list:
+    """Triangle-fan pieces of a convex k-gon (the reference leaves
+    ``Polygon::pieces`` unimplemented, ``Shape.hpp:520-527``; the fan is the
+    standard convex decomposition its @todo points at)."""
+    return [(0, i, i + 1) for i in range(1, k - 1)]
+
+
+def strip_faces(k: int) -> list:
+    """Perimeter edges of a k-node strip, traversed as one CCW cycle
+    (``Shape.hpp:442-446`` is unimplemented in the reference; this is the
+    strip boundary): along the even (bottom) chain, then back along the odd
+    (top) chain."""
+    cycle = list(range(0, k, 2)) + list(range(1, k, 2))[::-1]
+    return [(cycle[i], cycle[(i + 1) % k]) for i in range(k)]
+
+
+def polygon_faces(k: int) -> list:
+    """Boundary edges of a k-gon, *including* the closing edge (the
+    reference's ``Polygon::edges`` omits it — ``Shape.hpp:512-518`` iterates
+    i ∈ [1, k) only — which is a latent bug we do not reproduce)."""
+    return [(i, (i + 1) % k) for i in range(k)]
+
+
+def shape_faces_2d(shape_type: int, k: int) -> list:
+    """Local face (edge) lists for any 2D cell shape, fixed or variable."""
+    shape_type = normalize_shape(shape_type, k)
+    if shape_type in SHAPE_FACES_2D:
+        return SHAPE_FACES_2D[shape_type]
+    if shape_type == TRIANGLE_STRIP:
+        return strip_faces(k)
+    if shape_type == POLYGON:
+        return polygon_faces(k)
+    raise ValueError(f"unknown 2D shape type {shape_type}")
 
 # Faces (as local node index tuples) of 2D cells — their "faces" are edges
 # (reference ``Mallard/Fwd.hpp``: Face = rank TopoDim−1 entity).
@@ -147,6 +223,13 @@ def volume(shape_type: int, coords):
         return _tet_volume(coords)
     if shape_type in _TET_PIECES:
         return sum(_tet_volume(coords[..., list(p), :]) for p in _TET_PIECES[shape_type])
+    if shape_type in (TRIANGLE_STRIP, POLYGON):
+        k = coords.shape[-2]
+        shape_type = normalize_shape(shape_type, k)
+        if shape_type != TRIANGLE_STRIP and shape_type != POLYGON:
+            return volume(shape_type, coords)
+        pieces = strip_pieces(k) if shape_type == TRIANGLE_STRIP else polygon_pieces(k)
+        return sum(_tri_area(coords[..., list(p), :]) for p in pieces)
     raise ValueError(f"unknown shape type {shape_type}")
 
 
@@ -156,10 +239,17 @@ def barycenter(shape_type: int, coords):
         return coords.mean(axis=-2)
     if shape_type == QUADRANGLE:
         pieces = _TRI_PIECES[QUADRANGLE]
-        meas, cent = _tri_area, None
+        meas = _tri_area
     elif shape_type in _TET_PIECES:
         pieces = _TET_PIECES[shape_type]
         meas = _tet_volume
+    elif shape_type in (TRIANGLE_STRIP, POLYGON):
+        k = coords.shape[-2]
+        norm_type = normalize_shape(shape_type, k)
+        if norm_type not in (TRIANGLE_STRIP, POLYGON):
+            return barycenter(norm_type, coords)
+        pieces = strip_pieces(k) if norm_type == TRIANGLE_STRIP else polygon_pieces(k)
+        meas = _tri_area
     else:
         raise ValueError(f"unknown shape type {shape_type}")
     vols = [meas(coords[..., list(p), :]) for p in pieces]

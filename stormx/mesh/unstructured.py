@@ -362,7 +362,12 @@ def build_hybrid_mesh(
     """
     node_positions = np.asarray(node_positions, dtype=np.float64)
     dim = node_positions.shape[1]
-    groups = [(np.asarray(cells), int(shape)) for cells, shape in groups]
+    # Variable-arity fallback (3-node strip/polygon → triangle, 4-node
+    # polygon → quadrangle), reference ``Shape.hpp:426-433,498-505``.
+    groups = [
+        (np.asarray(cells), shapes.normalize_shape(int(shape), np.asarray(cells).shape[1]))
+        for cells, shape in groups
+    ]
 
     # --- fix inverted cells (2D): enforce CCW (positive signed area) ------
     fixed = []
@@ -385,7 +390,9 @@ def build_hybrid_mesh(
     npf_set = set()
     for gi, (cells, shape) in enumerate(groups):
         local_faces = (
-            shapes.SHAPE_FACES_2D[shape] if dim == 2 else shapes.SHAPE_FACES_3D[shape]
+            shapes.shape_faces_2d(shape, cells.shape[1])
+            if dim == 2
+            else shapes.SHAPE_FACES_3D[shape]
         )
         npf_set.update(len(lf) for lf in local_faces)
         base = cell_offsets[gi]

@@ -9,8 +9,17 @@ Why these exist (measured on v5e, 4.2M-row 5-diagonal Poisson, float32):
 * A full XLA CG iteration costs ~428 µs vs ~218 µs for the ideal two-pass
   structure (the α data dependency forces exactly two passes over HBM).
 
-The kernels close that gap by keeping one band window of the vector
-VMEM-resident per row tile and deriving every diagonal from it.
+The kernels keep one band window of the vector VMEM-resident per row tile
+and derive every diagonal from it (one HBM read of x total).
+
+Measurement caveat (this environment): per-``pallas_call`` dispatch through
+the remote-TPU relay is large and NOISY — an output-only kernel writing
+17 MB measured the same ~420 µs as the full 117 MB SpMV, and totals do not
+scale with rep counts (see ``scripts/perf_pallas_bisect.py``).  The kernels
+are compiled-validated bit-exact against the XLA path at small and full
+size; wall-clock wins over fused XLA could not be demonstrated through the
+relay, so the default solve paths keep the XLA DIA fast path and these
+kernels remain opt-in.
 
 Layout is the key TPU detail: vectors live as (rows, 128) tiles, and a
 flat shift by ``s`` decomposes as ``q, r = divmod(s, 128)`` into a sublane
@@ -49,21 +58,34 @@ def _interpret_default() -> bool:
 
 
 def _shifted(win, q, r, tile_rows):
-    """Rows [q, q+tile_rows) of the window, lane-rotated left by r.
+    """Rows [q, q+tile_rows) of the window, lane-shifted left by r:
+    result[i, l] = win_flat[(q+i)·128 + l + r].
 
-    result[i, l] = win_flat[(q+i)·128 + l + r]: both candidate rows are
-    rolled by −r (one VPU lane-rotate each) and a lane mask picks row q+i
-    (lanes < 128−r) or row q+i+1 (the wrapped lanes) — no sub-128 slicing,
-    which Mosaic mislowers.
+    The lane shift runs on the MXU, not the VPU: ``a @ Q_r + b @ R_r`` with
+    0/1 shift matrices (Q_r picks the wrap-free lanes from row q+i, R_r the
+    wrapped lanes from row q+i+1).  A first implementation used
+    ``pltpu.roll`` + select — VPU lane rotations on (1024, 128) tiles are
+    vreg-shuffle-bound and measured ~2× slower than XLA's whole SpMV; the
+    permutation matmul moves that data movement onto the idle MXU.
+    0/1 × f32 products are exact, so this is bitwise identical to the roll.
     """
     a = win[q : q + tile_rows, :]
     if r == 0:
         return a
     b = win[q + 1 : q + 1 + tile_rows, :]
-    ra = pltpu.roll(a, LANE - r, axis=1)  # circular left-rotate by r
-    rb = pltpu.roll(b, LANE - r, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANE), 1)
-    return jnp.where(lane < LANE - r, ra, rb)
+    row = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    q_mat = (row == col + r).astype(a.dtype)
+    r_mat = (row == col + (r - LANE)).astype(a.dtype)
+    # HIGHEST precision: the default bf16 MXU pass truncates f32 mantissas
+    # (measured 3e-2 error); with the multi-pass f32 decomposition a
+    # permutation product is exact (1.0·hi + 1.0·lo reassembles x).
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=a.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return dot(a, q_mat) + dot(b, r_mat)
 
 
 def _win_rows(tile_rows: int, h_rows: int) -> int:

@@ -10,6 +10,8 @@ implements the full planned catalog, grouped by TPU execution style:
 * **polynomial** (Chebyshev) — pure SpMV chains, no factorization;
 * **incomplete factorizations** (SGS, ILU(0), IC(0)) — host factorization,
   device triangular solves (exact level-scheduled or fixed Jacobi sweeps);
+* **incomplete QR** (CIMGS: IC(0) of AᵀA) — right preconditioner for
+  LSQR/LSMR on rectangular systems;
 * **approximate inverses** (SPAI(0), AINV) — host least-squares /
   biconjugation build, SpMV-only apply (the most TPU-native applies);
 * **multigrid** (smoothed-aggregation AMG V-cycle);
@@ -23,6 +25,7 @@ from stormx.precond.factorized import (
     IluPreconditioner,
     SgsPreconditioner,
 )
+from stormx.precond.iqr import IqrPreconditioner
 from stormx.precond.jacobi import BlockJacobiPreconditioner, JacobiPreconditioner
 from stormx.precond.krylov import KrylovPreconditioner
 from stormx.precond.multigrid import AmgPreconditioner
@@ -38,6 +41,7 @@ __all__ = [
     "IcPreconditioner",
     "SpaiPreconditioner",
     "AinvPreconditioner",
+    "IqrPreconditioner",
     "KrylovPreconditioner",
     "TriangularFactor",
     "build_triangular",

@@ -315,3 +315,83 @@ class TestSweepMode:
         )
         assert bool(res.converged)
         assert int(res.num_iterations) < baseline_iters(csr, b)
+
+
+class TestIqr:
+    def test_lsqr_on_rectangular(self):
+        # Ill-conditioned overdetermined A: IQR must cut LSQR iterations.
+        from stormx.precond import IqrPreconditioner
+        from stormx.solvers import SolverOptions, lsqr, make_operator
+
+        rng = np.random.default_rng(9)
+        m, n = 120, 48
+        a = rng.standard_normal((m, n)) * np.logspace(0, 2.2, n)
+        aj = jnp.asarray(a)
+        op = make_operator(lambda x: aj @ x, lambda y: aj.T @ y)
+        b = jnp.asarray(rng.standard_normal(m))
+        x_ref, *_ = np.linalg.lstsq(a, np.asarray(b), rcond=None)
+        # Inconsistent system: ||r|| stalls at the LS minimum, so compare
+        # solution error at a FIXED budget, not iterations-to-tolerance.
+        opts = SolverOptions(
+            num_iterations=15, absolute_tolerance=0.0, relative_tolerance=0.0
+        )
+        plain = lsqr(op, b, jnp.zeros(n), options=opts)
+        err_plain = np.abs(np.asarray(plain.x) - x_ref).max()
+
+        # CSR of A for the factorization (dense pattern is fine at test size).
+        rows, cols = np.nonzero(np.ones_like(a))
+        rp = np.arange(m + 1) * n
+        csr = CSR(
+            data=jnp.asarray(a[rows, cols]),
+            indices=jnp.asarray(cols.astype(np.int32)),
+            row_ptr=jnp.asarray(rp.astype(np.int32)),
+            shape=(m, n),
+        )
+        pre = IqrPreconditioner(csr)
+        res = lsqr(op, b, jnp.zeros(n), precond=pre, options=opts)
+        # Dense pattern → exact QR → A·R⁻¹ orthonormal → exact in O(1) iters.
+        err_pre = np.abs(np.asarray(res.x) - x_ref).max()
+        np.testing.assert_allclose(np.asarray(res.x), x_ref, atol=1e-6)
+        assert err_pre < 1e-6 < err_plain
+
+    def test_sparse_pattern_still_helps(self):
+        from stormx.precond import IqrPreconditioner
+        from stormx.solvers import SolverOptions, make_operator
+
+        # Sparse rectangular A: banded + a few dense columns.
+        rng = np.random.default_rng(10)
+        m, n = 160, 64
+        a = np.zeros((m, n))
+        for i in range(m):
+            j = i * n // m
+            a[i, j] = 2.0 + rng.random()
+            if j + 1 < n:
+                a[i, j + 1] = -1.0
+            if j > 0:
+                a[i, j - 1] = -0.5
+        a[:, 0] += 0.1 * rng.standard_normal(m)
+        aj = jnp.asarray(a)
+        op = make_operator(lambda x: aj @ x, lambda y: aj.T @ y)
+        b = jnp.asarray(rng.standard_normal(m))
+        rows, cols = np.nonzero(a)
+        rp = np.zeros(m + 1, dtype=np.int64)
+        np.add.at(rp, rows + 1, 1)
+        csr = CSR(
+            data=jnp.asarray(a[rows, cols]),
+            indices=jnp.asarray(cols.astype(np.int32)),
+            row_ptr=jnp.asarray(np.cumsum(rp).astype(np.int32)),
+            shape=(m, n),
+        )
+        opts = SolverOptions(
+            num_iterations=20, absolute_tolerance=0.0, relative_tolerance=0.0
+        )
+        from stormx.solvers import lsqr
+
+        plain = lsqr(op, b, jnp.zeros(n), options=opts)
+        pre = IqrPreconditioner(csr)
+        res_pre = lsqr(op, b, jnp.zeros(n), precond=pre, options=opts)
+        x_ref, *_ = np.linalg.lstsq(a, np.asarray(b), rcond=None)
+        err_plain = np.abs(np.asarray(plain.x) - x_ref).max()
+        err_pre = np.abs(np.asarray(res_pre.x) - x_ref).max()
+        np.testing.assert_allclose(np.asarray(res_pre.x), x_ref, atol=1e-7)
+        assert err_pre < err_plain
