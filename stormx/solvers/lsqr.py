@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from stormx.ops import safe_divide, sym_ortho
 from stormx.ops import vector as v
 from stormx.solvers.base import SolveResult, SolverOptions, run_iterative
-from stormx.solvers.operator import as_operator
+from stormx.solvers.operator import as_operator, make_operator
 from stormx.solvers.preconditioner import build_preconditioner
 
 __all__ = ["lsqr", "lsmr"]
@@ -105,14 +105,27 @@ def lsmr(
     x0,
     *,
     damp: float = 0.0,
+    precond=None,
     options: SolverOptions | None = None,
     axis_name: str | None = None,
 ) -> SolveResult:
     """LSMR: min‖b − 𝓐x‖₂ (+ ``damp²``·‖x‖² Tikhonov term) via MINRES on
     the normal equations (Fong–Saunders 2011, Alg. 1 with the §5.1
-    residual-norm recurrences)."""
+    residual-norm recurrences).
+
+    ``precond`` right-preconditions as in :func:`lsqr` (solves
+    min‖𝓐𝓟y − b‖, returns x = 𝓟y; x0 is interpreted in y-space).
+    """
     opts = options or SolverOptions()
-    A = as_operator(op)
+    A_raw = as_operator(op)
+    P = build_preconditioner(precond, x0, b, A_raw)
+    if P is not None:
+        A = make_operator(
+            lambda x: A_raw(P(x)),
+            lambda y: P.conj_apply(A_raw.conj_mul(y)),
+        )
+    else:
+        A = A_raw
 
     def init_fn(x):
         u, beta = _normalize(v.sub(b, A(x)), axis_name)
@@ -187,4 +200,7 @@ def lsmr(
                 betadd, betad, rhodold, tautildeold, thetatilde, zeta, d)
         return x, (u, vv, h, h_bar, flat), normr
 
-    return run_iterative(init_fn, iterate_fn, None, x0, opts)
+    result = run_iterative(init_fn, iterate_fn, None, x0, opts)
+    if P is not None:
+        result = result._replace(x=P(result.x))
+    return result

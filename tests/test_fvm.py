@@ -391,3 +391,59 @@ class TestFvSolverMarch:
             u_loop = step(u_loop, 1e-4)
         u_scan = solver.march(u0, 1e-4, 5)
         np.testing.assert_allclose(np.asarray(u_scan), np.asarray(u_loop), rtol=1e-12)
+
+
+class TestHllcFlux:
+    """HLLC (FluxScheme.hpp:162-246, dormant in the reference)."""
+
+    def _cons(self, rho, p, v):
+        import jax.numpy as jnp
+
+        from stormx.fvm.hydro import state_from_prim
+
+        n = jnp.asarray([[1.0, 0.0]])
+        prim = jnp.asarray([[rho, p, v, 0.0, 0.0]])
+        return n, state_from_prim(n, prim).make_cons()
+
+    def test_consistency(self):
+        # F(U, U) must equal the exact physical flux for all schemes.
+        import jax.numpy as jnp
+
+        from stormx.fvm.flux import hll_flux, hllc_flux, lax_friedrichs_flux
+        from stormx.fvm.hydro import state_from_cons
+
+        n, u = self._cons(1.2, 2.0, 0.7)
+        exact = state_from_cons(n, u).make_flux(
+            jnp.concatenate([n, jnp.zeros((1, 1))], -1)
+        )
+        for scheme in (lax_friedrichs_flux, hll_flux, hllc_flux):
+            np.testing.assert_allclose(
+                np.asarray(scheme(n, u, u)), np.asarray(exact), atol=1e-12
+            )
+
+    def test_resolves_stationary_contact_exactly(self):
+        # A stationary contact (equal p, v=0, jump in rho): HLLC keeps it
+        # exact (zero mass flux), the dissipative schemes smear it.
+        from stormx.fvm.flux import hllc_flux, lax_friedrichs_flux
+
+        n, u_r = self._cons(0.125, 1.0, 0.0)
+        _, u_l = self._cons(1.0, 1.0, 0.0)
+        f_hllc = np.asarray(hllc_flux(n, u_r, u_l))[0]
+        assert abs(f_hllc[0]) < 1e-12  # no mass flux through the contact
+        f_lf = np.asarray(lax_friedrichs_flux(n, u_r, u_l))[0]
+        assert abs(f_lf[0]) > 1e-3  # Rusanov diffuses it
+
+    def test_supersonic_upwinding(self):
+        # Supersonic flow to the right: flux = pure left (inner) flux.
+        import jax.numpy as jnp
+
+        from stormx.fvm.flux import hllc_flux
+        from stormx.fvm.hydro import state_from_cons
+
+        n, u_l = self._cons(1.0, 1.0, 5.0)  # c = sqrt(1.4) ≈ 1.18, M ≈ 4
+        _, u_r = self._cons(1.1, 1.2, 5.0)
+        f = np.asarray(hllc_flux(n, u_r, u_l))
+        exact_l = state_from_cons(n, u_l).make_flux(
+            jnp.concatenate([n, jnp.zeros((1, 1))], -1)
+        )
+        np.testing.assert_allclose(f, np.asarray(exact_l), atol=1e-12)

@@ -127,3 +127,36 @@ class TestDenseHelpers:
         b = rng.standard_normal(6)
         np.testing.assert_allclose(solve_lu(a, b), np.linalg.solve(a, b), rtol=1e-10)
         np.testing.assert_allclose(inverse_lu(a), np.linalg.inv(a), rtol=1e-10)
+
+
+class TestPermutations:
+    """Reference Utils/Permutations.hpp (is_permutation aborts for n>2
+    there — completed here)."""
+
+    def test_is_permutation(self):
+        import jax.numpy as jnp
+
+        from stormx.ops import is_permutation
+
+        assert bool(is_permutation(jnp.array([2, 0, 1, 3])))
+        assert not bool(is_permutation(jnp.array([0, 0, 2, 3])))
+        assert not bool(is_permutation(jnp.array([0, 1, 4, 2])))
+
+    def test_invert_roundtrip(self):
+        import jax
+
+        import jax.numpy as jnp
+
+        from stormx.ops import invert_permutation, inverse_permute, permute
+
+        rng = np.random.default_rng(0)
+        perm = jnp.asarray(rng.permutation(257))
+        iperm = invert_permutation(perm)
+        np.testing.assert_array_equal(np.asarray(iperm[perm]), np.arange(257))
+        v = jnp.asarray(rng.standard_normal(257))
+        np.testing.assert_allclose(
+            np.asarray(permute(inverse_permute(v, perm), perm)), np.asarray(v)
+        )
+        # jit-safe
+        out = jax.jit(lambda p: invert_permutation(p))(perm)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(iperm))
