@@ -447,3 +447,76 @@ class TestHllcFlux:
             jnp.concatenate([n, jnp.zeros((1, 1))], -1)
         )
         np.testing.assert_allclose(f, np.asarray(exact_l), atol=1e-12)
+
+
+class TestSodShockTube:
+    """Sod shock tube on a quad strip — end-to-end Euler validation against
+    the exact Riemann solution's plateau values (γ = 1.4, t = 0.2):
+    star region p* ≈ 0.30313, contact densities ρ*L ≈ 0.42632 /
+    ρ*R ≈ 0.26557, shock at x ≈ 0.8504, contact at x ≈ 0.6855."""
+
+    def _strip_mesh(self, nx):
+        from stormx.mesh.unstructured import build_mesh
+
+        xs = np.linspace(0.0, 1.0, nx + 1)
+        ys = np.array([0.0, 1.0 / nx])
+        xx, yy = np.meshgrid(xs, ys, indexing="ij")
+        pos = np.stack([xx.ravel(), yy.ravel()], 1)
+        cells = []
+        for i in range(nx):
+            a = 2 * i
+            cells.append([a, a + 2, a + 3, a + 1])  # CCW quad
+        return build_mesh(pos, np.asarray(cells))
+
+    @pytest.mark.parametrize("scheme_name", ["hllc", "hll"])
+    def test_plateaus_match_exact_riemann(self, scheme_name):
+        import jax.numpy as jnp
+
+        from stormx.fvm import flux as fluxes
+        from stormx.fvm.bc import slip_bc
+        from stormx.fvm.hydro import state_from_cons, state_from_prim
+        from stormx.fvm.solver import FvSolver
+
+        nx = 400
+        mesh = self._strip_mesh(nx)
+        dmesh = mesh.device_arrays()
+        scheme = getattr(fluxes, f"{scheme_name}_flux")
+        solver = FvSolver(
+            dmesh, order=1, bcs={1: slip_bc}, flux_scheme=scheme
+        )
+        xc = np.asarray(dmesh.cell_centers)[:, 0]
+        prim = np.zeros((mesh.num_cells, 5))
+        left = xc < 0.5
+        prim[left] = [1.0, 1.0, 0.0, 0.0, 0.0]
+        prim[~left] = [0.125, 0.1, 0.0, 0.0, 0.0]
+        n_dummy = jnp.zeros((mesh.num_cells, 2)).at[:, 0].set(1.0)
+        u0 = state_from_prim(n_dummy, jnp.asarray(prim)).make_cons()
+
+        t_end, dt = 0.2, 0.2 / 2000
+        u = solver.march(u0, dt, 2000)
+        st = state_from_cons(n_dummy, u)
+        rho = np.asarray(st.rho)
+        p = np.asarray(st.p)
+        vx = np.asarray(st.vel)[:, 0]
+
+        order = np.argsort(xc)
+        xs, rho, p, vx = xc[order], rho[order], p[order], vx[order]
+
+        def plateau(lo, hi, arr):
+            sel = (xs > lo) & (xs < hi)
+            return float(np.median(arr[sel]))
+
+        # Star-region plateaus (exact: p*=0.30313, v*=0.92745).
+        assert abs(plateau(0.72, 0.80, p) - 0.30313) < 0.01
+        assert abs(plateau(0.72, 0.80, vx) - 0.92745) < 0.02
+        # Left of contact ρ*L, right of contact ρ*R.
+        assert abs(plateau(0.60, 0.66, rho) - 0.42632) < 0.02
+        assert abs(plateau(0.72, 0.80, rho) - 0.26557) < 0.02
+        # Undisturbed states.
+        assert abs(plateau(0.0, 0.15, rho) - 1.0) < 1e-6
+        assert abs(plateau(0.92, 1.0, rho) - 0.125) < 1e-6
+        # Shock position: steepest density drop near x ≈ 0.85.
+        grad = np.abs(np.diff(rho))
+        mask = xs[:-1] > 0.75
+        x_shock = xs[:-1][mask][np.argmax(grad[mask])]
+        assert abs(x_shock - 0.8504) < 0.03
