@@ -22,6 +22,7 @@ basis and a shift-in at restart boundaries.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -76,7 +77,14 @@ def _base_lgmres(
         q0, beta0 = make_q0(x)
         dtype = jnp.asarray(beta0).dtype
         Q = v.set_stacked(v.stacked_zeros(q0, mm + 1), 0, q0)
-        Zaug = v.stacked_zeros(q0, max(k_aug, 1))
+        # Derive Zaug's zeros from q0 (0·q0 broadcast) rather than fresh
+        # jnp.zeros: under shard_map fresh zeros are replicated-typed, but
+        # the restart branch writes device-varying data into Zaug, and
+        # lax.cond requires both branches to agree on varying axes.
+        Zaug = jax.tree_util.tree_map(
+            lambda l: jnp.zeros((max(k_aug, 1),) + l.shape, l.dtype) + 0.0 * l,
+            q0,
+        )
         Z = v.stacked_zeros(q0, mm) if store_z else None
         H = jnp.zeros((mm + 1, mm), dtype=dtype)
         cs = jnp.zeros((mm,), dtype=dtype)

@@ -90,7 +90,7 @@ def test_sharded_cg_matches_serial_history(spd_problem, num_parts):
     )
 
 
-@pytest.mark.parametrize("method", ["bicgstab", "gmres", "tfqmr", "idrs"])
+@pytest.mark.parametrize("method", ["bicgstab", "gmres", "tfqmr", "idrs", "lgmres", "cgs"])
 def test_sharded_nonsymmetric_solvers(method):
     rng = np.random.default_rng(11)
     n = 64
