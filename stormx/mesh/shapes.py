@@ -40,6 +40,7 @@ __all__ = [
     "barycenter",
     "face_normal_2d",
     "face_normal_3d",
+    "face_geometry_3d",
 ]
 
 # Shape type ids (order mirrors the reference catalog).
@@ -269,6 +270,34 @@ def face_normal_2d(coords):
     d = coords[..., 1, :] - coords[..., 0, :]
     n = np.stack([d[..., 1], -d[..., 0]], axis=-1)
     return n / np.linalg.norm(n, axis=-1, keepdims=True)
+
+
+def face_geometry_3d(coords):
+    """(areas, unit normals, centroids) of 3D polygonal faces
+    ``(..., k, 3)`` via the triangle fan from node 0 (reference
+    ``Shape.hpp:141-199`` piecewise accumulation, vectorized).
+
+    Robust to repeated nodes (degenerate fan pieces contribute zero), which
+    is how mixed-arity faces (tri faces of pyramids/prisms padded to the
+    quad width) are represented.
+    """
+    k = coords.shape[-2]
+    vec_area = 0.0
+    w_cent = 0.0
+    w_sum = 0.0
+    for i in range(1, k - 1):
+        a = coords[..., i, :] - coords[..., 0, :]
+        b = coords[..., i + 1, :] - coords[..., 0, :]
+        ai = 0.5 * np.cross(a, b)  # vector area of piece i
+        mi = np.linalg.norm(ai, axis=-1)
+        ci = (coords[..., 0, :] + coords[..., i, :] + coords[..., i + 1, :]) / 3.0
+        vec_area = vec_area + ai
+        w_cent = w_cent + mi[..., None] * ci
+        w_sum = w_sum + mi
+    area = np.linalg.norm(vec_area, axis=-1)
+    normal = vec_area / np.maximum(area, 1e-300)[..., None]
+    center = w_cent / np.maximum(w_sum, 1e-300)[..., None]
+    return area, normal, center
 
 
 def face_normal_3d(coords):

@@ -399,12 +399,19 @@ def build_hybrid_mesh(
         for lf in local_faces:
             raw_list.append(cells[:, list(lf)])
             raw_cell_list.append(base + np.arange(len(cells)))
-    if len(npf_set) != 1:
-        raise StormError(
-            "mixed face arities not supported yet (e.g. 3D prism meshes); "
-            f"got faces with {sorted(npf_set)} nodes"
-        )
-    npf = npf_set.pop()
+    # Mixed face arities (pyramid/prism cells have both tri and quad faces,
+    # hybrid meshes mix polygon widths): pad narrower faces by repeating
+    # their last node.  Fan-based face geometry treats the degenerate piece
+    # as zero, and the sorted-multiset dedup key stays collision-free (a
+    # valid k-node face has k distinct nodes, so a padded (k−1)-node face —
+    # whose key carries a duplicate — can never equal it).
+    npf = max(npf_set)
+    raw_list = [
+        np.concatenate([r] + [r[:, -1:]] * (npf - r.shape[1]), axis=1)
+        if r.shape[1] != npf
+        else r
+        for r in raw_list
+    ]
     raw = np.concatenate(raw_list, axis=0)
     raw_cell = np.concatenate(raw_cell_list, axis=0)
 
@@ -476,11 +483,8 @@ def build_hybrid_mesh(
         face_normals = shapes.face_normal_2d(fcoords)
         face_centers = fcoords.mean(axis=1)
     else:
-        if npf != 3:
-            raise StormError("3D non-triangle faces not yet grouped")
-        face_areas = np.abs(shapes.volume(shapes.TRIANGLE, fcoords))
-        face_normals = shapes.face_normal_3d(fcoords)
-        face_centers = fcoords.mean(axis=1)
+        # General polygonal faces (possibly padded with a repeated node).
+        face_areas, face_normals, face_centers = shapes.face_geometry_3d(fcoords)
 
     # Orientation check: normal must point inner → outer (or outward on the
     # boundary).  Robust sign fix via center differences.

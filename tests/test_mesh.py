@@ -369,3 +369,92 @@ class TestConnectivityTables:
         m = cube_tet_mesh(1)
         ptr, cols = m.cell_faces_csr()
         np.testing.assert_array_equal(np.diff(ptr), np.full(m.num_cells, 4))  # tets
+
+
+class TestHexMesh:
+    """Hexahedral and mixed-face 3D meshes (quad + tri faces via padding)."""
+
+    def _hex_grid(self, n):
+        from stormx.mesh.unstructured import build_mesh
+
+        xs = np.linspace(0.0, 1.0, n + 1)
+        xx, yy, zz = np.meshgrid(xs, xs, xs, indexing="ij")
+        pos = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], 1)
+        s = n + 1
+
+        def nid(i, j, k):
+            return (i * s + j) * s + k
+
+        cells = []
+        for i in range(n):
+            for j in range(n):
+                for k in range(n):
+                    cells.append([
+                        nid(i, j, k), nid(i + 1, j, k),
+                        nid(i + 1, j + 1, k), nid(i, j + 1, k),
+                        nid(i, j, k + 1), nid(i + 1, j, k + 1),
+                        nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1),
+                    ])
+        return build_mesh(pos, np.asarray(cells))
+
+    def test_geometry_and_counts(self):
+        n = 3
+        mesh = self._hex_grid(n)
+        assert mesh.num_cells == n**3
+        # Structured grid: 3·n²·(n+1) faces total, 3·n²·(n−1) interior.
+        assert mesh.num_faces == 3 * n * n * (n + 1)
+        assert len(mesh.interior_faces()) == 3 * n * n * (n - 1)
+        np.testing.assert_allclose(mesh.cell_volumes, (1.0 / n) ** 3, atol=1e-14)
+        np.testing.assert_allclose(mesh.face_areas, (1.0 / n) ** 2, atol=1e-14)
+        # Outward boundary normals.
+        bf = mesh.boundary_faces()
+        to_out = mesh.face_centers[bf] - mesh.cell_centers[mesh.face_cells[bf, 0]]
+        dots = np.einsum("fd,fd->f", mesh.face_normals[bf], to_out)
+        assert (dots > 0).all()
+
+    def test_poisson_cg_on_hexes(self):
+        import jax.numpy as jnp
+
+        from stormx.fvm.divgrad import assemble_divgrad
+        from stormx.solvers import cg, make_operator
+
+        mesh = self._hex_grid(4)
+        op = assemble_divgrad(mesh)
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(mesh.num_cells)
+        b -= b.mean()
+        res = cg(make_operator(op.matvec), jnp.asarray(b), jnp.zeros(mesh.num_cells))
+        assert bool(res.converged)
+        r = np.asarray(op.matvec(res.x)) - b
+        assert np.abs(r).max() < 1e-6
+
+    def test_pyramid_cells_mixed_faces(self):
+        # One cube split into 6 pyramids sharing the center apex: tri + quad
+        # faces in one mesh (the previously unsupported mixed-arity case).
+        from stormx.mesh import shapes as sh
+        from stormx.mesh.unstructured import build_hybrid_mesh
+
+        corners = np.array([
+            [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+            [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+        ], dtype=float)
+        pos = np.vstack([corners, [[0.5, 0.5, 0.5]]])
+        c = 8  # apex
+        # Base quads ordered so the apex sees them CCW (outward from cube).
+        bases = [
+            (0, 3, 2, 1),  # bottom z=0
+            (4, 5, 6, 7),  # top z=1
+            (0, 1, 5, 4),  # y=0
+            (2, 3, 7, 6),  # y=1
+            (1, 2, 6, 5),  # x=1
+            (3, 0, 4, 7),  # x=0
+        ]
+        cells = np.asarray([list(b) + [c] for b in bases])
+        mesh = build_hybrid_mesh(pos, [(cells, sh.PYRAMID)])
+        assert mesh.num_cells == 6
+        # 6 quad boundary faces + 12 interior tri faces (each pair of
+        # adjacent pyramids shares one).
+        assert mesh.num_faces == 18
+        assert len(mesh.interior_faces()) == 12
+        np.testing.assert_allclose(mesh.cell_volumes, 1.0 / 6.0, atol=1e-12)
+        np.testing.assert_allclose(mesh.cell_volumes.sum(), 1.0, atol=1e-12)
