@@ -155,9 +155,17 @@ def lincomb(coeffs, vecs) -> PyTree:
 
 
 def stacked_zeros(template: PyTree, m: int) -> PyTree:
-    """A stack of m zero vectors shaped like ``template``."""
+    """A stack of m zero vectors shaped like ``template``.
+
+    The zeros are derived from the template (``+ 0·template``) rather than
+    created fresh: under ``shard_map``, fresh ``jnp.zeros`` are typed as
+    replicated, but solver basis buffers get device-varying vectors written
+    into them inside ``lax.while_loop``/``lax.cond``, whose carries require
+    matching varying-axes types.  Deriving from the (varying) template makes
+    the buffer varying-typed from the start; under plain jit this folds away.
+    """
     return jax.tree_util.tree_map(
-        lambda l: jnp.zeros((m,) + l.shape, dtype=l.dtype), template
+        lambda l: jnp.zeros((m,) + l.shape, dtype=l.dtype) + 0 * l, template
     )
 
 

@@ -61,6 +61,7 @@ def sharded_solve(
     method: str = "cg",
     options: SolverOptions | None = None,
     precond_diag=None,
+    precond=None,
     **solver_kw,
 ):
     """Solve A·x = b with the operator partitioned over the device mesh.
@@ -69,6 +70,21 @@ def sharded_solve(
     The full solver while-loop runs inside shard_map: per-iteration
     reductions are psums, halo exchange is an all_gather, no host round
     trips.
+
+    Preconditioning options:
+
+    * ``precond_diag`` — a *global* (n,) diagonal; partitioned and applied
+      as shard-local Jacobi scaling.
+    * ``precond`` — a shard-safe :class:`~stormx.solvers.preconditioner.
+      Preconditioner` instance.  Its apply runs *inside* shard_map on local
+      shards, so it must be built from replicated state (explicit scalars)
+      and touch the vector only through elementwise math or the operator
+      itself — e.g. ``ChebyshevPreconditioner(degree=k, lambda_max=λ,
+      ratio=r)`` (each polynomial term calls the halo-exchanging local
+      operator, so it is distributed-correct by construction) or a
+      ``KrylovPreconditioner`` with an inner method + ``axis_name`` wiring
+      handled here.  Host-factorized preconditioners (ILU/IC/SGS/AMG) hold
+      global index tables and are NOT shard-safe.
     """
     mesh = mesh or make_device_mesh(pop.num_parts)
     opts = options or SolverOptions()
@@ -106,7 +122,9 @@ def sharded_solve(
         data, cols, send = data[0], cols[0], send[0]
         op = make_operator(lambda v: local_mv(v, data, cols, send))
         kw = dict(solver_kw)
-        pre = None
+        pre = precond
+        if pre is not None and hasattr(pre, "_axis_name"):
+            pre._axis_name = AXIS  # KrylovPreconditioner: inner psums
         for key, val in zip(extra_keys, extra_vals):
             if key == "diag":
                 from stormx.precond import JacobiPreconditioner

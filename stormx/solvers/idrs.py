@@ -73,14 +73,10 @@ def idrs(
         # so build it here — this also keeps every lax.cond/while carry with
         # a uniform sharding-variance under shard_map.
         Pspace = build_shadow_space(r, phi)
+        # stacked_zeros derives from r, so U/G are already device-varying
+        # under shard_map (uniform while-loop carry signature).
         U = v.stacked_zeros(r, s)
         G = v.stacked_zeros(r, s)
-        if axis_name is not None:
-            # Zero-initialized carries must already be device-varying so the
-            # while-loop carry signature is uniform under shard_map.
-            U, G = jax.tree_util.tree_map(
-                lambda a: lax.pcast(a, (axis_name,), to="varying"), (U, G)
-            )
         return (r, Pspace, U, G, phi, mu, omega), err0
 
     def build_shadow_space(r, phi):

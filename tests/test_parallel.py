@@ -19,7 +19,7 @@ from stormx.parallel import (
     sharded_solve,
     unpartition_vector,
 )
-from stormx.solvers import make_operator, solve
+from stormx.solvers import SolverOptions, make_operator, solve
 from stormx.sparse import CSR
 
 from conftest import make_nonsym_matrix, make_spd_matrix
@@ -274,3 +274,77 @@ class TestBandedDistributed:
         dia = self._poisson_dia(16)  # h = 16, n_loc at P=32 would be 8
         with pytest.raises(ValueError, match="halo"):
             partition_dia(dia, 32)
+
+
+class TestShardedPreconditioner:
+    """General shard-safe preconditioners inside sharded_solve."""
+
+    def _problem(self, nx=16):
+        n = nx * nx
+        idx = np.arange(n)
+        i, j = idx // nx, idx % nx
+        rows, cols, vals = [idx], [idx], [np.full(n, 4.0)]
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ii, jj = i + di, j + dj
+            m = (ii >= 0) & (ii < nx) & (jj >= 0) & (jj < nx)
+            rows.append(idx[m]); cols.append((ii * nx + jj)[m])
+            vals.append(np.full(int(m.sum()), -1.0))
+        rows = np.concatenate(rows); cols = np.concatenate(cols)
+        vals = np.concatenate(vals)
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        rp = np.zeros(n + 1, dtype=np.int64); np.add.at(rp, rows + 1, 1)
+        csr = CSR(
+            data=jnp.asarray(vals),
+            indices=jnp.asarray(cols.astype(np.int32)),
+            row_ptr=jnp.asarray(np.cumsum(rp).astype(np.int32)),
+            shape=(n, n),
+        )
+        b = np.random.default_rng(5).standard_normal(n)
+        return csr, b
+
+    def test_chebyshev_partition_invariant_and_faster(self):
+        from stormx.precond import ChebyshevPreconditioner
+
+        csr, b = self._problem()
+        opts = SolverOptions(
+            num_iterations=400, absolute_tolerance=1e-10, relative_tolerance=1e-10
+        )
+
+        def run(p, pre):
+            return sharded_solve(
+                partition_csr(csr, p), b, method="cg", options=opts, precond=pre
+            )
+
+        def make_pre():
+            # Explicit bounds → no build-phase estimation → shard-safe and
+            # partition-independent.
+            return ChebyshevPreconditioner(degree=6, lambda_max=8.0, ratio=50.0)
+
+        plain = sharded_solve(partition_csr(csr, 4), b, method="cg", options=opts)
+        r1 = run(1, make_pre())
+        r8 = run(8, make_pre())
+        assert bool(r8.converged)
+        assert int(r8.num_iterations) < int(plain.num_iterations)
+        # Partition invariance of the preconditioned history.
+        h1, h8 = np.asarray(r1.history), np.asarray(r8.history)
+        k = int(r1.num_iterations)
+        np.testing.assert_allclose(h8[: k + 1], h1[: k + 1], rtol=1e-10)
+        # True solution.
+        r = np.asarray(csr.matvec(r8.x)) - b
+        assert np.abs(r).max() < 1e-8
+
+    def test_krylov_precond_sharded_fgmres(self):
+        from stormx.precond import KrylovPreconditioner
+
+        csr, b = self._problem()
+        opts = SolverOptions(
+            num_iterations=200, absolute_tolerance=1e-9, relative_tolerance=1e-9
+        )
+        pre = KrylovPreconditioner(method="cg", num_iterations=6)
+        res = sharded_solve(
+            partition_csr(csr, 4), b, method="fgmres", options=opts, precond=pre
+        )
+        assert bool(res.converged)
+        r = np.asarray(csr.matvec(res.x)) - b
+        assert np.abs(r).max() < 1e-7
