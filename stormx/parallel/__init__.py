@@ -17,9 +17,13 @@ from stormx.parallel.partition import (
     rcm_order,
     unpartition_vector,
 )
+from stormx.parallel.fvm import PartitionedFv, partition_fv, sharded_fv_march
 from stormx.parallel.sharded import make_device_mesh, sharded_matvec, sharded_solve
 
 __all__ = [
+    "PartitionedFv",
+    "partition_fv",
+    "sharded_fv_march",
     "PartitionedOperator",
     "PartitionedDIA",
     "partition_dia",

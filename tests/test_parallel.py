@@ -348,3 +348,53 @@ class TestShardedPreconditioner:
         assert bool(res.converged)
         r = np.asarray(csr.matvec(res.x)) - b
         assert np.abs(r).max() < 1e-7
+
+
+class TestShardedFvMarch:
+    """Distributed explicit Euler march == serial march (fp64 oracle)."""
+
+    def test_matches_serial_trajectory(self):
+        import __graft_entry__ as g
+        from stormx.apps.euler import initial_state
+        from stormx.fvm.bc import far_field_bc, slip_bc
+        from stormx.fvm.solver import FvSolver
+        from stormx.parallel import partition_fv, sharded_fv_march
+
+        mesh = g._structured_tri_mesh(6, 5)  # 60 cells — ragged over 8 parts
+        dmesh = mesh.device_arrays()
+        rng = np.random.default_rng(2)
+        u0 = np.array(initial_state(mesh.num_cells))
+        u0[:, 0] += 0.1 * rng.random(mesh.num_cells)  # perturb density
+        u0 = jnp.asarray(u0)
+        bcs = {1: slip_bc}
+        dt, steps = 1e-3, 20
+
+        serial = FvSolver(dmesh, order=1, bcs=bcs).march(u0, dt, steps)
+        for parts in (1, 4, 8):
+            pfv = partition_fv(dmesh, parts)
+            dist = sharded_fv_march(pfv, u0, dt, steps, bcs=bcs)
+            np.testing.assert_allclose(
+                np.asarray(dist), np.asarray(serial), atol=1e-12,
+                err_msg=f"P={parts}",
+            )
+
+    def test_hllc_distributed(self):
+        import __graft_entry__ as g
+        from stormx.apps.euler import initial_state
+        from stormx.fvm.bc import far_field_bc
+        from stormx.fvm.flux import hllc_flux
+        from stormx.fvm.solver import FvSolver
+        from stormx.parallel import partition_fv, sharded_fv_march
+
+        mesh = g._structured_tri_mesh(4, 4)
+        dmesh = mesh.device_arrays()
+        u0 = initial_state(mesh.num_cells)
+        bcs = {1: far_field_bc}
+        serial = FvSolver(dmesh, order=1, bcs=bcs, flux_scheme=hllc_flux).march(
+            u0, 1e-3, 10
+        )
+        pfv = partition_fv(dmesh, 4)
+        dist = sharded_fv_march(
+            pfv, u0, 1e-3, 10, bcs=bcs, flux_scheme=hllc_flux
+        )
+        np.testing.assert_allclose(np.asarray(dist), np.asarray(serial), atol=1e-12)
