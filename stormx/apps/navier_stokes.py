@@ -1,0 +1,144 @@
+"""Incompressible Navier–Stokes by Chorin pressure projection.
+
+BASELINE.json config #5: "Incompressible Navier-Stokes pressure-projection
+solve: partitioned mesh across N ≥ 2 hosts, halo-overlapped SpMV, IDR(s) vs
+BiCGStab(l)".  The reference has no NS solver — this composes stormx's
+existing FVM operators and distributed Krylov layer into the projection
+method:
+
+  1. predictor  u* = u + dt·(−(u·∇)u + ν ∇²u)  — LSQ gradients for the
+     convective term (``Feathers/GradientScheme.hpp`` analog), ``div_grad``
+     for the viscous term;
+  2. pressure Poisson  ∇²p = div(u*)/dt  — the assembled div-grad operator,
+     solved serially or partitioned over the device mesh via
+     ``stormx.parallel.sharded_solve`` (IDR(s), BiCGStab(l), CG, ...);
+  3. corrector  u = u* − dt·∇p.
+
+Everything jits; the distributed pressure solve keeps the whole Krylov
+loop inside one shard_map region (psum reductions + all-gather halos).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from stormx.fvm.divgrad import assemble_divgrad, div_grad
+from stormx.fvm.gradient import lsq_gradient_matrices, lsq_gradients
+from stormx.ops.segment import segment_sum
+
+__all__ = ["NsProjection", "cell_divergence", "face_fluxes", "flux_divergence"]
+
+
+def face_fluxes(dmesh, vel):
+    """Face normal volume fluxes F_f = v_face·n̂·A from cell velocities
+    (central average; boundary faces use the inner value)."""
+    v_in = vel[dmesh.face_inner]
+    v_out = vel[jnp.maximum(dmesh.face_outer, 0)]
+    bdry = (dmesh.face_outer < 0)[:, None]
+    v_face = jnp.where(bdry, v_in, 0.5 * (v_in + v_out))
+    return jnp.einsum("fd,fd->f", v_face, dmesh.face_normals) * dmesh.face_areas
+
+
+def flux_divergence(dmesh, flux):
+    """div per cell from face fluxes — the same scatter-accumulate as the
+    convection operator (SURVEY §3.5)."""
+    g = flux[dmesh.cell_face_ell]
+    acc = jnp.sum(dmesh.cell_face_sign * g, axis=1)
+    return acc / dmesh.cell_volumes
+
+
+def cell_divergence(dmesh, vel):
+    """div(v) per cell from face-averaged normal fluxes."""
+    return flux_divergence(dmesh, face_fluxes(dmesh, vel))
+
+
+class NsProjection:
+    """Chorin projection stepper on an unstructured mesh.
+
+    ``mesh``: host :class:`~stormx.mesh.unstructured.UnstructuredMesh`;
+    ``nu``: kinematic viscosity.  ``num_parts > 1`` partitions the pressure
+    Poisson solve over the device mesh (``method`` picks the Krylov solver —
+    the BASELINE config pits ``"idrs"`` against ``"bicgstab_l"``).
+    """
+
+    def __init__(self, mesh, *, nu: float = 1e-2, num_parts: int = 1,
+                 method: str = "idrs", solver_kw: dict | None = None):
+        self.dmesh = mesh.device_arrays()
+        self.nu = nu
+        self.method = method
+        self.solver_kw = dict(solver_kw or {})
+        self._g_mats = lsq_gradient_matrices(self.dmesh)
+        self._poisson = assemble_divgrad(mesh)  # ELL weighted Laplacian
+        self.num_parts = num_parts
+        if num_parts > 1:
+            from stormx.parallel import make_device_mesh, partition_csr
+
+            self._pop = partition_csr(self._poisson.to_csr(), num_parts)
+            self._pmesh = make_device_mesh(num_parts)
+
+    # -- substeps -----------------------------------------------------------
+
+    def predictor(self, vel, dt):
+        """u* = u + dt·(−(u·∇)u + ν ∇²u)."""
+        grads = lsq_gradients(self.dmesh, vel, g_mats=self._g_mats)
+        # (u·∇)u per cell: (n, dim_out) = Σ_d u_d ∂u_out/∂x_d.
+        conv = jnp.einsum("nd,nod->no", vel, grads)
+        visc = jnp.stack(
+            [
+                div_grad(self.dmesh, jnp.zeros_like(vel[:, d]), self.nu, vel[:, d])
+                for d in range(vel.shape[1])
+            ],
+            axis=1,
+        )
+        return vel + dt * (visc - conv)
+
+    def pressure_solve(self, rhs):
+        """Solve ∇²p = rhs (mean-free) — serial or partitioned."""
+        rhs = rhs - jnp.mean(rhs)  # compatibility with the constant nullspace
+        if self.num_parts > 1:
+            from stormx.parallel import sharded_solve
+
+            res = sharded_solve(
+                self._pop, np.asarray(rhs), method=self.method, **self.solver_kw
+            )
+        else:
+            from stormx.solvers import solve
+
+            res = solve(self._poisson, rhs, method=self.method, **self.solver_kw)
+        p = res.x - jnp.mean(res.x)
+        return p, res
+
+    def correct_fluxes(self, flux, p, dt):
+        """F ← F − dt·A·(p_out − p_in)/dist on interior faces.
+
+        This is the two-point pressure-gradient flux — exactly the stencil
+        of the assembled Poisson operator — so ``flux_divergence`` of the
+        result equals the residual of the pressure solve: the projected
+        *face* field is discretely divergence-free to solver tolerance
+        (the standard collocated-FVM projection, Rhie–Chow style).
+        """
+        d = self.dmesh
+        interior = d.face_outer >= 0
+        dp = p[jnp.maximum(d.face_outer, 0)] - p[d.face_inner]
+        dist = jnp.where(d.face_dist > 0, d.face_dist, 1.0)
+        corr = jnp.where(interior, d.face_areas * dp / dist, 0.0)
+        return flux - dt * corr
+
+    def step(self, vel, dt):
+        """One projection step; returns (vel', p, result, corrected fluxes).
+
+        The corrected *face fluxes* are divergence-free to solver tolerance
+        (conservation lives on faces in FVM); the corrected *cell*
+        velocities use the LSQ pressure gradient and are approximately
+        solenoidal (collocated-grid limitation, as in the continuum
+        literature).
+        """
+        v_star = self.predictor(vel, dt)
+        flux = face_fluxes(self.dmesh, v_star)
+        div = flux_divergence(self.dmesh, flux)
+        p, res = self.pressure_solve(div / dt)
+        flux_new = self.correct_fluxes(flux, p, dt)
+        grad_p = lsq_gradients(self.dmesh, p, g_mats=self._g_mats)
+        vel_new = v_star - dt * grad_p
+        return vel_new, p, res, flux_new

@@ -173,6 +173,22 @@ class ELL:
         rows = jnp.arange(n, dtype=self.cols.dtype)[:, None]
         return jnp.sum(jnp.where(self.cols == rows, self.data, 0.0), axis=1)
 
+    def to_csr(self) -> CSR:
+        """Host-side conversion (drops padding; keeps diagonal slots even
+        when numerically zero so factorizations find an explicit diagonal)."""
+        data = np.asarray(self.data)
+        cols = np.asarray(self.cols)
+        n = self.shape[0]
+        rows = np.broadcast_to(np.arange(n)[:, None], cols.shape)
+        keep = (data != 0) | (cols == rows)
+        coo = COO(
+            data=jnp.asarray(data[keep]),
+            rows=jnp.asarray(rows[keep].astype(np.int32)),
+            cols=jnp.asarray(cols[keep].astype(np.int32)),
+            shape=self.shape,
+        )
+        return coo.to_csr()
+
 
 _register(ELL, ("data", "cols"), ("shape",))
 
