@@ -99,8 +99,11 @@ class NsProjection:
         if self.num_parts > 1:
             from stormx.parallel import sharded_solve
 
+            # rhs stays a jax array (possibly a tracer): partition_vector /
+            # unpartition_vector are jit-traceable, so the distributed
+            # pressure solve composes under an outer jit too.
             res = sharded_solve(
-                self._pop, np.asarray(rhs), method=self.method, **self.solver_kw
+                self._pop, rhs, method=self.method, **self.solver_kw
             )
         else:
             from stormx.solvers import solve

@@ -37,9 +37,26 @@ def _boundary_ghosts(dmesh, u_face_inner, bcs):
     ``u_face_inner``: (num_faces, nv) reconstructed inner-side states.
     Returns the full outer-side state array (interior entries untouched —
     caller overwrites them with actual outer values first).
+
+    Every boundary label that actually has faces MUST have a BC entry — the
+    reference wires an explicit BC per label (``SkunkFvSolver.hpp:73-74``);
+    silently treating an unhandled label as zero-gradient would be wrong
+    physics with no error.
     """
-    ghosts = u_face_inner
     ranges = dmesh.face_label_ranges
+    missing = [
+        label
+        for label in range(1, len(ranges) - 1)
+        if ranges[label + 1] > ranges[label] and label not in bcs
+    ]
+    if missing:
+        from stormx.core.exceptions import StormError
+
+        raise StormError(
+            f"boundary labels {missing} have faces but no boundary condition;"
+            " pass a BC for every label (reference SkunkFvSolver.hpp:73-74)"
+        )
+    ghosts = u_face_inner
     for label, bc in bcs.items():
         lo, hi = ranges[label], ranges[label + 1]
         if hi <= lo:

@@ -26,6 +26,7 @@ __all__ = [
     "div_grad",
     "face_flux_coefficients",
     "assemble_divgrad",
+    "assemble_laplacian",
     "assemble_divgrad_dia",
 ]
 
@@ -88,6 +89,37 @@ def assemble_divgrad(mesh, scale=1.0):
     )
     from stormx.sparse import ell_from_csr
 
+    return ell_from_csr(coo.to_csr())
+
+
+def assemble_laplacian(mesh, scale=1.0):
+    """Assemble the SYMMETRIC two-point-flux Laplacian L (no 1/volume row
+    weighting): diag Σ_f w_f, off-diag −w_f with w_f = area_f/dist_f.
+
+    L is SPD up to the constant nullspace (pure-Neumann closure), so CG is
+    safe on ANY mesh — the volume-weighted ``assemble_divgrad`` form
+    V⁻¹L is what the reference applies (``Playground.cpp:116-131``); the two
+    solve the same problem via L·x = V·rhs.  Returns an ELL operator.
+    """
+    from stormx.sparse import COO, ell_from_csr
+
+    interior = mesh.interior_faces()
+    inner = mesh.face_cells[interior, 0]
+    outer = mesh.face_cells[interior, 1]
+    dist = np.linalg.norm(
+        mesh.cell_centers[outer] - mesh.cell_centers[inner], axis=1
+    )
+    w = scale * mesh.face_areas[interior] / dist
+
+    rows = np.concatenate([inner, outer, inner, outer])
+    cols = np.concatenate([outer, inner, inner, outer])
+    data = np.concatenate([-w, -w, w, w])
+    coo = COO(
+        data=jnp.asarray(data),
+        rows=jnp.asarray(rows.astype(np.int32)),
+        cols=jnp.asarray(cols.astype(np.int32)),
+        shape=(mesh.num_cells, mesh.num_cells),
+    )
     return ell_from_csr(coo.to_csr())
 
 

@@ -400,12 +400,24 @@ def build_hybrid_mesh(
             raw_list.append(cells[:, list(lf)])
             raw_cell_list.append(base + np.arange(len(cells)))
     # Mixed face arities (pyramid/prism cells have both tri and quad faces,
-    # hybrid meshes mix polygon widths): pad narrower faces by repeating
-    # their last node.  Fan-based face geometry treats the degenerate piece
-    # as zero, and the sorted-multiset dedup key stays collision-free (a
-    # valid k-node face has k distinct nodes, so a padded (k−1)-node face —
-    # whose key carries a duplicate — can never equal it).
+    # hybrid meshes mix polygon widths).  The dedup KEY is canonical in the
+    # node SET alone: sort the unpadded nodes, then left-pad with the −1
+    # sentinel — so the two cells sharing a k-node face always produce the
+    # identical key no matter how each lists the nodes, and a padded
+    # (k−1)-node key (carrying −1) can never collide with a true k-node one.
+    # The GEOMETRY padding (repeat the last node) is applied separately;
+    # fan-based face geometry treats the degenerate piece as zero area.
     npf = max(npf_set)
+    key_list = [
+        np.concatenate(
+            [
+                np.full((len(r), npf - r.shape[1]), -1, dtype=r.dtype),
+                np.sort(r, axis=1),
+            ],
+            axis=1,
+        )
+        for r in raw_list
+    ]
     raw_list = [
         np.concatenate([r] + [r[:, -1:]] * (npf - r.shape[1]), axis=1)
         if r.shape[1] != npf
@@ -415,7 +427,7 @@ def build_hybrid_mesh(
     raw = np.concatenate(raw_list, axis=0)
     raw_cell = np.concatenate(raw_cell_list, axis=0)
 
-    key = np.sort(raw, axis=1)
+    key = np.concatenate(key_list, axis=0)
     uniq, first_idx, inverse, counts = np.unique(
         key, axis=0, return_index=True, return_inverse=True, return_counts=True
     )
@@ -448,7 +460,9 @@ def build_hybrid_mesh(
     is_boundary = ~has_second
     face_labels[is_boundary] = 1
     if boundary_face_labels:
-        keys = [tuple(t) for t in uniq]
+        # Strip the −1 key padding so lookups match the caller's sorted
+        # node tuples regardless of face arity.
+        keys = [tuple(int(x) for x in t if x >= 0) for t in uniq]
         for i, ktup in enumerate(keys):
             lbl = boundary_face_labels.get(ktup)
             if lbl is not None and is_boundary[i]:

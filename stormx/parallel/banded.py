@@ -95,10 +95,11 @@ def partition_dia(dia, num_parts: int) -> PartitionedDIA:
 
 
 def _partition_vec(pdia: PartitionedDIA, x) -> jnp.ndarray:
-    x = np.asarray(x)
-    out = np.zeros(pdia.num_parts * pdia.n_loc, dtype=x.dtype)
-    out[: pdia.n_global] = x
-    return jnp.asarray(out.reshape(pdia.num_parts, pdia.n_loc))
+    x = jnp.asarray(x)
+    pad = pdia.num_parts * pdia.n_loc - pdia.n_global
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+    return x.reshape(pdia.num_parts, pdia.n_loc)
 
 
 def sharded_dia_solve(
@@ -122,7 +123,7 @@ def sharded_dia_solve(
     local_mv = pdia.local_matvec(AXIS)
 
     bp = _partition_vec(pdia, b)
-    xp0 = _partition_vec(pdia, np.asarray(x0)) if x0 is not None else jnp.zeros_like(bp)
+    xp0 = _partition_vec(pdia, x0) if x0 is not None else jnp.zeros_like(bp)
 
     extras = {}
     if precond_diag is not None:
@@ -165,5 +166,5 @@ def sharded_dia_solve(
     )
     args = (bp, xp0, pdia.data) + tuple(extras[k] for k in extra_keys)
     res = jax.jit(sharded)(*args)
-    x_global = np.asarray(res.x).reshape(-1)[: pdia.n_global]
+    x_global = res.x.reshape(-1)[: pdia.n_global]
     return res._replace(x=x_global)

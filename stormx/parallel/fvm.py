@@ -145,9 +145,15 @@ def sharded_fv_march(
         # Padding cells must hold a valid state (they are never referenced
         # by real faces, but NaN-free math keeps checkify clean).
         u_p = u_p.at[-1, n_loc - pad :].set(u_p[0, 0])
-    bc_items = tuple(
-        (label, bcs[label]) for label in pfv.unique_labels if label in bcs
-    )
+    missing = [label for label in pfv.unique_labels if label not in bcs]
+    if missing:
+        from stormx.core.exceptions import StormError
+
+        raise StormError(
+            f"boundary labels {missing} have faces but no boundary condition;"
+            " pass a BC for every label (reference SkunkFvSolver.hpp:73-74)"
+        )
+    bc_items = tuple((label, bcs[label]) for label in pfv.unique_labels)
 
     def local_march(u_loc, normals, areas, centers, labels, g_in, g_out,
                     l_in, l_out, v_in, v_out):

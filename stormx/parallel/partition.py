@@ -293,16 +293,17 @@ def partition_csr(
 
 
 def partition_vector(pop: PartitionedOperator, x) -> jnp.ndarray:
-    """Global (n,) vector → (P, n_pad) partitioned layout."""
-    x = np.asarray(x)
-    out = np.zeros((pop.num_parts * pop.n_pad,), dtype=x.dtype)
-    out[pop.fill_slots] = x[pop.perm]
-    return jnp.asarray(out.reshape(pop.num_parts, pop.n_pad))
+    """Global (n,) vector → (P, n_pad) partitioned layout (jit-traceable)."""
+    x = jnp.asarray(x)
+    out = jnp.zeros((pop.num_parts * pop.n_pad,), dtype=x.dtype)
+    out = out.at[pop.fill_slots].set(x[pop.perm])
+    return out.reshape(pop.num_parts, pop.n_pad)
 
 
-def unpartition_vector(pop: PartitionedOperator, xp) -> np.ndarray:
-    """(P, n_pad) partitioned layout → global (n,) vector."""
-    flat = np.asarray(xp).reshape(-1)
-    out = np.empty(pop.n_global, dtype=flat.dtype)
-    out[pop.perm] = flat[pop.fill_slots]
-    return out
+def unpartition_vector(pop: PartitionedOperator, xp) -> jnp.ndarray:
+    """(P, n_pad) partitioned layout → global (n,) vector (jit-traceable)."""
+    flat = jnp.asarray(xp).reshape(-1)
+    inv = np.empty(pop.n_global, dtype=np.int64)
+    inv[pop.perm] = np.arange(pop.n_global)
+    # out[perm[i]] = flat[fill_slots[i]]  ⇔  out = flat[fill_slots][inv].
+    return flat[pop.fill_slots][inv]

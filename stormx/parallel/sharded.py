@@ -123,8 +123,10 @@ def sharded_solve(
         op = make_operator(lambda v: local_mv(v, data, cols, send))
         kw = dict(solver_kw)
         pre = precond
-        if pre is not None and hasattr(pre, "_axis_name"):
-            pre._axis_name = AXIS  # KrylovPreconditioner: inner psums
+        if pre is not None and hasattr(pre, "with_axis_name"):
+            # Functional re-wire (KrylovPreconditioner: inner psums); never
+            # mutate the user's instance.
+            pre = pre.with_axis_name(AXIS)
         for key, val in zip(extra_keys, extra_vals):
             if key == "diag":
                 from stormx.precond import JacobiPreconditioner

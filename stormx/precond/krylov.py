@@ -49,6 +49,22 @@ class KrylovPreconditioner(Preconditioner):
             self._op = op
         return self
 
+    def with_axis_name(self, axis_name):
+        """Functional copy whose inner reductions psum over ``axis_name``.
+
+        Used by ``stormx.parallel.sharded_solve`` — returns a new instance
+        so the user's preconditioner is never mutated (reusing it in a later
+        serial solve would otherwise psum outside any shard_map and fail).
+        """
+        return KrylovPreconditioner(
+            self._op,
+            method=self._method,
+            num_iterations=self._inner_iters,
+            relative_tolerance=self._rtol,
+            inner_precond=self._inner_precond,
+            axis_name=axis_name,
+        )
+
     def __call__(self, r):
         from stormx.ops import vector as v
         from stormx.solvers import SOLVERS

@@ -60,10 +60,30 @@ class SolveResult(NamedTuple):
     history: jax.Array | None  # (num_iterations + 1,) abs errors, NaN padded
 
 
-def resolve_side(side) -> PreconditionerSide:
-    if isinstance(side, PreconditionerSide):
-        return side
-    return PreconditionerSide(str(side).lower())
+def resolve_side(side, *, precond=None, solver: str | None = None) -> PreconditionerSide:
+    """Normalize ``pre_side``; reject unimplemented SYMMETRIC.
+
+    The reference declares Left/Right/Symmetric (``Preconditioner.hpp:39-58``)
+    but, like it, no solver here implements a symmetric split (M = M_L·M_R
+    needs a factorized preconditioner).  Selecting it used to silently run
+    UNPRECONDITIONED — worse than missing; now it raises whenever a
+    preconditioner is actually supplied.  CG is the exception by algebra:
+    its z = 𝓟r recurrence is equivalent to symmetrically-preconditioned CG
+    for SPD 𝓟, so ``cg`` accepts any side.
+    """
+    if not isinstance(side, PreconditionerSide):
+        side = PreconditionerSide(str(side).lower())
+    if side is PreconditionerSide.SYMMETRIC and precond is not None:
+        from stormx.core.exceptions import StormError
+
+        raise StormError(
+            f"pre_side='symmetric' is not implemented by {solver or 'this solver'}"
+            " (a symmetric split M = M_L·M_R requires a factorized"
+            " preconditioner); use 'left' or 'right' — or CG, whose z = 𝓟r"
+            " recurrence is algebraically the symmetric-preconditioned"
+            " iteration for SPD 𝓟"
+        )
+    return side
 
 
 def run_iterative(

@@ -35,7 +35,7 @@ def bicgstab(
     opts = options or SolverOptions()
     A = as_operator(op)
     P = build_preconditioner(precond, x0, b, A)
-    side = resolve_side(opts.pre_side)
+    side = resolve_side(opts.pre_side, precond=P, solver='bicgstab')
     left_pre = P is not None and side == PreconditionerSide.LEFT
     right_pre = P is not None and side == PreconditionerSide.RIGHT
 

@@ -44,7 +44,7 @@ def _base_gmres(
     m = restart
     A = as_operator(op)
     P = build_preconditioner(precond, x0, b, A)
-    side = resolve_side(opts.pre_side)
+    side = resolve_side(opts.pre_side, precond=P, solver='gmres')
     # Flexible GMRES forces right preconditioning (SolverGmres.hpp:96-97).
     left_pre = P is not None and not flexible and side == PreconditionerSide.LEFT
     right_pre = P is not None and (flexible or side == PreconditionerSide.RIGHT)

@@ -48,7 +48,7 @@ def idrs(
     opts = options or SolverOptions()
     A = as_operator(op)
     P = build_preconditioner(precond, x0, b, A)
-    side = resolve_side(opts.pre_side)
+    side = resolve_side(opts.pre_side, precond=P, solver='idrs')
     left_pre = P is not None and side == PreconditionerSide.LEFT
     right_pre = P is not None and side == PreconditionerSide.RIGHT
 

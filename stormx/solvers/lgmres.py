@@ -54,7 +54,7 @@ def _base_lgmres(
     mm = m + k_aug  # inner steps per cycle
     A = as_operator(op)
     P = build_preconditioner(precond, x0, b, A)
-    side = resolve_side(opts.pre_side)
+    side = resolve_side(opts.pre_side, precond=P, solver='lgmres')
     left_pre = P is not None and not flexible and side == PreconditionerSide.LEFT
     right_pre = P is not None and (flexible or side == PreconditionerSide.RIGHT)
     store_z = flexible and P is not None
@@ -112,9 +112,13 @@ def _base_lgmres(
             z = P(d)
             q_new = A(z)
             if store_z:
-                # Flexible: the per-step x-space direction is P(q_j) for
-                # Krylov steps and the raw z-vector for augmented steps.
-                Z = v.set_stacked(Z, j, v.tree_where(use_aug, d, z))
+                # Flexible: the Arnoldi expansion applied A to z = 𝓟(d) for
+                # EVERY step (Krylov q_j and augmented Zaug alike), so z is
+                # the per-step x-space direction for every step.  Storing
+                # the raw augmented d instead would make the projected
+                # residual diverge from the true residual after the first
+                # augmented cycle.
+                Z = v.set_stacked(Z, j, z)
         else:
             q_new = A(d)
 
@@ -184,15 +188,20 @@ def _base_lgmres(
             coeffs = jnp.where(active[:mm], y[:mm], 0.0)
             return v.lincomb_stacked(coeffs, Z)
         # Krylov part (directions are the q_j themselves).
-        kry = v.lincomb_stacked(jnp.where(kry_mask, y, 0.0), Q)
+        delta = v.lincomb_stacked(jnp.where(kry_mask, y, 0.0), Q)
+        if k_aug > 0:
+            # Augmented part: coefficients y[m:m+k] gated by nz.
+            aug_coeffs = jnp.where(aug_mask[m : m + k_aug], y[m : m + k_aug], 0.0)
+            delta = v.add(delta, v.lincomb_stacked(aug_coeffs, Zaug))
         if right_pre:
-            kry = P(kry)
-        if k_aug == 0:
-            return kry
-        # Augmented part: coefficients y[m:m+k] gated by nz.
-        aug_coeffs = jnp.where(aug_mask[m : m + k_aug], y[m : m + k_aug], 0.0)
-        aug = v.lincomb_stacked(aug_coeffs, Zaug)
-        return v.add(kry, aug)
+            # The Arnoldi expansion applied A∘𝓟 to EVERY direction d —
+            # Krylov q_j and augmented Zaug alike — so the x-space
+            # correction is 𝓟 applied to the WHOLE combination.  Applying
+            # 𝓟 to the Krylov part only desynchronizes the projected
+            # residual |β_{j+1}| (the stopping test) from the true
+            # residual after the first augmented cycle.
+            delta = P(delta)
+        return delta
 
     def inner_finalize(j, x, state):
         return v.add(x, correction(j, state))

@@ -34,7 +34,7 @@ def _base_tfqmr(
     opts = options or SolverOptions()
     A = as_operator(op)
     P = build_preconditioner(precond, x0, b, A)
-    side = resolve_side(opts.pre_side)
+    side = resolve_side(opts.pre_side, precond=P, solver='tfqmr')
     left_pre = P is not None and side == PreconditionerSide.LEFT
     right_pre = P is not None and side == PreconditionerSide.RIGHT
 

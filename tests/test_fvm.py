@@ -244,6 +244,21 @@ class TestConvection:
         div_f = upwind_convection(dmesh, u, {1: far_field_bc})
         np.testing.assert_allclose(np.asarray(div_f)[:, 0], 0.0, atol=1e-10)
 
+    def test_missing_boundary_label_raises(self, dmesh):
+        """Regression: a boundary label with faces but no BC entry used to
+        silently fall back to a zero-gradient copy (the reference wires an
+        explicit BC per label, SkunkFvSolver.hpp:73-74)."""
+        from stormx.core.exceptions import StormError
+        from stormx.apps.euler import initial_state
+
+        u = initial_state(dmesh.num_cells)
+        with pytest.raises(StormError, match="boundary label"):
+            upwind_convection(dmesh, u, {})
+        from stormx.parallel import partition_fv, sharded_fv_march
+
+        with pytest.raises(StormError, match="boundary label"):
+            sharded_fv_march(partition_fv(dmesh, 2), u, 1e-4, 1, bcs={})
+
     def test_solver_step_shapes(self, dmesh):
         from stormx.apps.euler import initial_state
 

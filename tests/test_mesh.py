@@ -317,6 +317,40 @@ class TestHybridMesh:
         assert bool(res.converged)
         assert np.abs(np.asarray(op(res.x)) - b).max() < 1e-6
 
+    def test_mixed_arity_shared_face_dedup(self):
+        """Regression: with mixed face arities (hex quads force tri-face key
+        padding), a tri face shared by two tets that list its nodes in
+        DIFFERENT orders must still deduplicate into one interior face.
+        The old last-node-repeat padding ran before the sort, so the padded
+        keys differed and the shared face silently split into two boundary
+        faces (dropping the flux coupling)."""
+        from stormx.mesh import build_hybrid_mesh
+
+        nodes = np.array(
+            [
+                # Two tets sharing face {0, 1, 2}.
+                [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                [0.2, 0.2, 1.0], [0.2, 0.2, -1.0],
+                # A far-away unit cube (forces npf = 4 → tri faces padded).
+                [10, 0, 0], [11, 0, 0], [11, 1, 0], [10, 1, 0],
+                [10, 0, 1], [11, 0, 1], [11, 1, 1], [10, 1, 1],
+            ],
+            dtype=float,
+        )
+        tets = np.array([[0, 1, 2, 3], [2, 1, 0, 4]])  # shared face reordered
+        hexes = np.array([[5, 6, 7, 8, 9, 10, 11, 12]])
+        m = build_hybrid_mesh(
+            nodes, [(tets, shapes.TETRAHEDRON), (hexes, shapes.HEXAHEDRON)]
+        )
+        # 4 + 4 − 1 tri faces + 6 hex quads.
+        assert m.num_faces == 13
+        interior = m.interior_faces()
+        assert len(interior) == 1
+        assert set(m.face_cells[interior[0]].tolist()) == {0, 1}
+        # The shared face's node set survives (padding never leaks a −1).
+        shared_nodes = set(m.face_nodes[interior[0]].tolist())
+        assert shared_nodes == {0, 1, 2}
+
 
 class TestConnectivityTables:
     """The reference's (TopoDim+1)^2 adjacency matrix, derived lazily as CSR."""

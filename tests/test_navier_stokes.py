@@ -86,3 +86,24 @@ class TestProjection:
         np.testing.assert_allclose(
             sols["idrs"], sols["bicgstab_l"], atol=1e-6
         )
+
+    def test_distributed_step_jits(self, mesh):
+        """Regression: the num_parts > 1 pressure solve called np.asarray on
+        the rhs, raising TracerArrayConversionError under jit — the module
+        docstring's 'Everything jits' claim now holds for the distributed
+        path too."""
+        import jax
+
+        ns = NsProjection(mesh, method="cg", num_parts=4,
+                          solver_kw={"options": OPTS})
+        vel0 = taylor_green(ns.dmesh)
+
+        @jax.jit
+        def step(v):
+            v1, p, res, _ = ns.step(v, dt=1e-2)
+            return v1, p, res.converged
+
+        v1, p, conv = step(vel0)
+        assert bool(conv)
+        assert np.isfinite(np.asarray(v1)).all()
+        assert np.isfinite(np.asarray(p)).all()

@@ -349,6 +349,29 @@ class TestShardedPreconditioner:
         r = np.asarray(csr.matvec(res.x)) - b
         assert np.abs(r).max() < 1e-7
 
+    def test_sharded_solve_does_not_mutate_preconditioner(self):
+        """Regression: sharded_solve used to set pre._axis_name in place, so
+        reusing the same instance in a later SERIAL solve psum'd outside any
+        shard_map and failed."""
+        from stormx.precond import KrylovPreconditioner
+        from stormx.solvers import fgmres, make_operator
+
+        csr, b = self._problem()
+        opts = SolverOptions(
+            num_iterations=200, absolute_tolerance=1e-9, relative_tolerance=1e-9
+        )
+        pre = KrylovPreconditioner(method="cg", num_iterations=6)
+        sharded_solve(
+            partition_csr(csr, 4), b, method="fgmres", options=opts, precond=pre
+        )
+        assert pre._axis_name is None
+        # The same instance must still work serially afterwards.
+        res = fgmres(
+            make_operator(csr.matvec), jnp.asarray(b),
+            jnp.zeros(len(b)), precond=pre, options=opts,
+        )
+        assert bool(res.converged)
+
 
 class TestShardedFvMarch:
     """Distributed explicit Euler march == serial march (fp64 oracle)."""

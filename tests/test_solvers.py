@@ -155,6 +155,36 @@ class TestPreconditioning:
         assert bool(res.converged)
         np.testing.assert_allclose(res.x, x_true, atol=1e-6)
 
+    @pytest.mark.parametrize("solver", [bicgstab, gmres, cgs, tfqmr, idrs],
+                             ids=lambda s: s.__name__)
+    def test_symmetric_side_raises(self, solver, nonsym):
+        """Regression: pre_side='symmetric' used to silently run
+        UNPRECONDITIONED (Preconditioner.hpp:39-58 declares the side; no
+        solver implements the split) — now it raises when a preconditioner
+        is supplied."""
+        from stormx.core.exceptions import StormError
+
+        a, b, _ = nonsym
+        pre = JacobiPreconditioner(diag=jnp.diag(a))
+        opts = SolverOptions(pre_side="symmetric")
+        with pytest.raises(StormError, match="symmetric"):
+            solver(op_of(a), b, jnp.zeros(N), precond=pre, options=opts)
+
+    def test_symmetric_side_ok_without_precond_and_for_cg(self, spd):
+        # No preconditioner → the side is irrelevant, must not raise; CG's
+        # z = 𝓟r recurrence IS the symmetric-preconditioned iteration.
+        a, b, x_true = spd
+        opts = SolverOptions(
+            absolute_tolerance=1e-10, relative_tolerance=1e-10,
+            pre_side="symmetric",
+        )
+        res = gmres(op_of(a), b, jnp.zeros(N), options=opts)
+        assert bool(res.converged)
+        pre = JacobiPreconditioner(diag=jnp.diag(a))
+        res = cg(op_of(a), b, jnp.zeros(N), precond=pre, options=opts)
+        assert bool(res.converged)
+        np.testing.assert_allclose(res.x, x_true, atol=1e-6)
+
     def test_jacobi_speeds_up_illconditioned(self, rng):
         d = jnp.asarray(10.0 ** rng.uniform(0, 4, size=N))
         a = jnp.diag(d) + 0.1 * jnp.eye(N)

@@ -106,6 +106,40 @@ class TestLgmres:
         x = run(jnp.asarray(b))
         assert np.abs(a @ np.asarray(x) - b).max() < 1e-6
 
+    @pytest.mark.parametrize("variant", ["lgmres", "lfgmres"])
+    def test_preconditioned_true_residual_matches_reported(self, variant):
+        """Regression: right-preconditioned (the default side) augmented
+        cycles must keep the projected residual |β_{j+1}| — the stopping
+        test — synchronized with the TRUE residual of the returned x.  The
+        old code applied 𝓟 to the Krylov part of the correction only (and
+        the flexible path stored the raw augmented direction), giving a
+        13–30× projected/true gap after two cycles."""
+        from stormx.precond import JacobiPreconditioner
+
+        rng = np.random.default_rng(11)
+        n = 60
+        a = rng.standard_normal((n, n)) * 0.5 + np.diag(
+            np.linspace(3.0, 3.0 * n, n)
+        )
+        b = rng.standard_normal(n)
+        pre = JacobiPreconditioner(diag=jnp.asarray(np.diag(a)))
+        solver = {"lgmres": lgmres, "lfgmres": lfgmres}[variant]
+        # Small restart forces ≥ 2 augmented cycles before convergence.
+        opts = SolverOptions(
+            num_iterations=60, absolute_tolerance=1e-8, relative_tolerance=0.0
+        )
+        res = solver(
+            dense_op(a), jnp.asarray(b), jnp.zeros(n),
+            precond=pre, restart=6, augment=2, options=opts,
+        )
+        assert int(res.num_iterations) > 8  # really went past cycle 1
+        true_r = np.linalg.norm(a @ np.asarray(res.x) - b)
+        reported = float(res.absolute_error)
+        assert np.isclose(true_r, reported, rtol=1e-3, atol=1e-12), (
+            f"true residual {true_r} vs reported {reported}"
+        )
+        assert bool(res.converged) and true_r < 1.1e-8
+
     def test_flexible_with_varying_preconditioner(self, hard_nonsym):
         from stormx.precond import KrylovPreconditioner
 
