@@ -1,4 +1,5 @@
 from stormx.mesh import shapes
+from stormx.mesh.structured import structured_tet_box, structured_tri_rect
 from stormx.mesh.tetgen import read_tetgen
 from stormx.mesh.unstructured import (
     DeviceMesh,
@@ -14,4 +15,6 @@ __all__ = [
     "UnstructuredMesh",
     "build_mesh",
     "build_hybrid_mesh",
+    "structured_tri_rect",
+    "structured_tet_box",
 ]

@@ -17,10 +17,24 @@ from stormx.parallel.partition import (
     rcm_order,
     unpartition_vector,
 )
+from stormx.parallel.bsr import (
+    PartitionedBSR,
+    partition_bsr,
+    partition_bsr_vector,
+    sharded_bsr_solve,
+    unpartition_bsr_vector,
+)
 from stormx.parallel.fvm import PartitionedFv, partition_fv, sharded_fv_march
+from stormx.parallel.ras import build_ras_factors
 from stormx.parallel.sharded import make_device_mesh, sharded_matvec, sharded_solve
 
 __all__ = [
+    "PartitionedBSR",
+    "partition_bsr",
+    "partition_bsr_vector",
+    "unpartition_bsr_vector",
+    "sharded_bsr_solve",
+    "build_ras_factors",
     "PartitionedFv",
     "partition_fv",
     "sharded_fv_march",

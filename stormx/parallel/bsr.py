@@ -1,0 +1,238 @@
+"""Distributed BSR operators — BASELINE config #3's partitioned path.
+
+"GMRES(30)/FGMRES … 3D unstructured-mesh operator, BSR blocks": the block
+rows drop into the same layout machinery as the scalar ELL partitioner
+(``stormx.parallel.partition``) with BLOCK columns — each device owns a
+contiguous (RCM-ordered) range of block rows, the shared set S is the union
+of block columns referenced across partition boundaries, and one
+``lax.all_gather`` of the per-partition export pool serves as the halo.
+Vectors travel as (nb_pad, b) block layouts, which every pytree vector op
+already supports.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from stormx.parallel.partition import bfs_partition, rcm_order
+from stormx.parallel.sharded import AXIS, make_device_mesh
+from stormx.solvers import SOLVERS, SolverOptions, make_operator
+
+__all__ = [
+    "PartitionedBSR",
+    "partition_bsr",
+    "partition_bsr_vector",
+    "unpartition_bsr_vector",
+    "sharded_bsr_solve",
+]
+
+
+@dataclass(frozen=True)
+class PartitionedBSR:
+    """A BSR operator split into P device-local block-ELL blocks."""
+
+    num_parts: int
+    nb_global: int  # true block-row count
+    nb_pad: int  # owned block-row slots per partition
+    s_max: int  # shared block slots per partition
+    block_size: int
+    blocks: jnp.ndarray  # (P, nb_pad, K, b, b)
+    cols: jnp.ndarray  # (P, nb_pad, K) local block-column ids
+    send_slots: jnp.ndarray  # (P, s_max)
+    perm: np.ndarray  # perm[new] = old block-row id
+    fill_slots: np.ndarray
+
+    def local_matvec(self, axis_name: str):
+        """(nb_pad, b) → (nb_pad, b) block SpMV: one all_gather halo + one
+        block gather + one MXU block contraction."""
+        from jax import lax
+
+        b = self.block_size
+
+        def matvec(x_loc, blocks_loc, cols_loc, send_loc):
+            contrib = x_loc[send_loc]  # (s_max, b)
+            shared = lax.all_gather(contrib, axis_name)  # (P, s_max, b)
+            x_ext = jnp.concatenate([x_loc, shared.reshape(-1, b)])
+            g = x_ext[cols_loc]  # (nb_pad, K, b)
+            return jnp.einsum(
+                "rkij,rkj->ri", blocks_loc, g, preferred_element_type=x_loc.dtype
+            )
+
+        return matvec
+
+
+def partition_bsr(
+    bsr, num_parts: int, *, method: str = "rcm-blocks", reorder: bool = True
+) -> PartitionedBSR:
+    """Partition a :class:`stormx.sparse.BSR` into P local block-ELL blocks."""
+    blocks = np.asarray(bsr.blocks)  # (nb, K, b, b)
+    cols = np.asarray(bsr.cols)
+    nb, K, b, _ = blocks.shape
+    live = np.abs(blocks).max(axis=(2, 3)) != 0  # (nb, K)
+    rows_e = np.repeat(np.arange(nb), K)[live.reshape(-1)]
+    cols_e = cols.reshape(-1)[live.reshape(-1)].astype(np.int64)
+
+    Pn = num_parts
+    nb_pad = -(-nb // Pn)
+    if not reorder:
+        perm = np.arange(nb, dtype=np.int64)
+        fill_slots = np.arange(nb, dtype=np.int64)
+    elif method == "rcm-blocks":
+        perm = rcm_order(nb, rows_e, cols_e)
+        fill_slots = np.arange(nb, dtype=np.int64)
+    elif method == "bfs":
+        part_of_old = bfs_partition(nb, rows_e, cols_e, Pn)
+        rcm = rcm_order(nb, rows_e, cols_e)
+        rcm_pos = np.empty(nb, dtype=np.int64)
+        rcm_pos[rcm] = np.arange(nb)
+        perm = np.lexsort((rcm_pos, part_of_old))
+        part_sorted = part_of_old[perm]
+        sizes = np.bincount(part_sorted, minlength=Pn)
+        if sizes.max() > nb_pad:
+            raise ValueError("bfs_partition produced an oversized part")
+        starts = np.zeros(Pn + 1, dtype=np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        fill_slots = part_sorted * nb_pad + (np.arange(nb) - starts[part_sorted])
+    else:
+        raise ValueError(f"unknown partition method {method!r}")
+
+    slot_of_old = np.empty(nb, dtype=np.int64)
+    slot_of_old[perm] = fill_slots
+    srow_of = slot_of_old  # per old block row
+
+    # Shared block set: columns referenced across a partition boundary.
+    srow = srow_of[rows_e]
+    scol = srow_of[cols_e]
+    cross = (srow // nb_pad) != (scol // nb_pad)
+    S = np.unique(scol[cross])
+    s_part = S // nb_pad
+    s_counts = np.bincount(s_part, minlength=Pn)
+    s_max = int(s_counts.max()) if len(S) else 1
+    s_starts = np.zeros(Pn + 1, dtype=np.int64)
+    np.cumsum(s_counts, out=s_starts[1:])
+    s_pos = np.arange(len(S)) - s_starts[s_part]
+    shared_lookup = np.full(Pn * nb_pad, -1, dtype=np.int64)
+    shared_lookup[S] = s_part * s_max + s_pos
+    send_slots = np.zeros((Pn, s_max), dtype=np.int32)
+    send_slots[s_part, s_pos] = (S % nb_pad).astype(np.int32)
+
+    blocks_l = np.zeros((Pn, nb_pad, K, b, b), dtype=blocks.dtype)
+    cols_l = np.zeros((Pn, nb_pad, K), dtype=np.int32)
+    for old in range(nb):
+        s = srow_of[old]
+        p, w = divmod(s, nb_pad)
+        blocks_l[p, w] = blocks[old]
+        sc = srow_of[cols[old]]
+        same = (sc // nb_pad) == p
+        lc = np.where(same, sc % nb_pad, nb_pad + shared_lookup[sc])
+        # Dead (all-zero) blocks keep column 0.
+        cols_l[p, w] = np.where(live[old], lc, 0).astype(np.int32)
+
+    return PartitionedBSR(
+        num_parts=Pn,
+        nb_global=nb,
+        nb_pad=nb_pad,
+        s_max=s_max,
+        block_size=b,
+        blocks=jnp.asarray(blocks_l),
+        cols=jnp.asarray(cols_l),
+        send_slots=jnp.asarray(send_slots),
+        perm=perm,
+        fill_slots=fill_slots,
+    )
+
+
+def partition_bsr_vector(pb: PartitionedBSR, x) -> jnp.ndarray:
+    """Global (n,) → (P, nb_pad, b) block layout (jit-traceable)."""
+    b = pb.block_size
+    xb = jnp.asarray(x).reshape(pb.nb_global, b)
+    out = jnp.zeros((pb.num_parts * pb.nb_pad, b), dtype=xb.dtype)
+    out = out.at[pb.fill_slots].set(xb[pb.perm])
+    return out.reshape(pb.num_parts, pb.nb_pad, b)
+
+
+def unpartition_bsr_vector(pb: PartitionedBSR, xp) -> jnp.ndarray:
+    flat = jnp.asarray(xp).reshape(-1, pb.block_size)
+    inv = np.empty(pb.nb_global, dtype=np.int64)
+    inv[pb.perm] = np.arange(pb.nb_global)
+    return flat[pb.fill_slots][inv].reshape(-1)
+
+
+def sharded_bsr_solve(
+    pb: PartitionedBSR,
+    b_vec,
+    x0=None,
+    *,
+    mesh=None,
+    method: str = "gmres",
+    options: SolverOptions | None = None,
+    block_jacobi: bool = False,
+    **solver_kw,
+):
+    """Krylov solve with the BSR operator partitioned over the device mesh
+    (BASELINE config #3).  ``block_jacobi=True`` preconditions with the
+    inverted diagonal blocks (shard-local, partition-invariant)."""
+    mesh = mesh or make_device_mesh(pb.num_parts)
+    opts = options or SolverOptions()
+    solver_fn = SOLVERS[method.lower()]
+    local_mv = pb.local_matvec(AXIS)
+
+    bp = partition_bsr_vector(pb, b_vec)
+    xp0 = partition_bsr_vector(pb, x0) if x0 is not None else jnp.zeros_like(bp)
+
+    extras = {}
+    if block_jacobi:
+        bsz = pb.block_size
+        blocks = np.asarray(pb.blocks)
+        rows = np.arange(pb.nb_pad)
+        cols = np.asarray(pb.cols)
+        diag = np.zeros((pb.num_parts, pb.nb_pad, bsz, bsz), blocks.dtype)
+        for p in range(pb.num_parts):
+            mask = cols[p] == rows[:, None]
+            diag[p] = (blocks[p] * mask[..., None, None]).sum(axis=1)
+            empty = np.abs(diag[p]).max(axis=(1, 2)) == 0
+            diag[p][empty] = np.eye(bsz, dtype=blocks.dtype)
+        extras["dinv"] = jnp.asarray(np.linalg.inv(diag))
+    extra_keys = tuple(extras)
+
+    def local_solve(b_loc, x0_loc, blocks_loc, cols_loc, send_loc, *extra_vals):
+        b_loc, x0_loc = b_loc[0], x0_loc[0]
+        blocks_loc, cols_loc, send_loc = blocks_loc[0], cols_loc[0], send_loc[0]
+        op = make_operator(lambda v: local_mv(v, blocks_loc, cols_loc, send_loc))
+        pre = None
+        for key, val in zip(extra_keys, extra_vals):
+            if key == "dinv":
+                dinv = val[0]
+                from stormx.solvers.preconditioner import FunctionPreconditioner
+
+                pre = FunctionPreconditioner(
+                    lambda r, dinv=dinv: jnp.einsum("rij,rj->ri", dinv, r)
+                )
+        res = solver_fn(
+            op, b_loc, x0_loc, precond=pre, options=opts, axis_name=AXIS,
+            **solver_kw,
+        )
+        return res._replace(x=res.x[None])
+
+    from stormx.solvers.base import SolveResult
+
+    out_specs = SolveResult(
+        x=P(AXIS), converged=P(), num_iterations=P(),
+        absolute_error=P(), relative_error=P(), history=P(),
+    )
+    sharded = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=tuple([P(AXIS)] * (5 + len(extras))),
+        out_specs=out_specs,
+    )
+    args = (bp, xp0, pb.blocks, pb.cols, pb.send_slots) + tuple(
+        extras[k] for k in extra_keys
+    )
+    res = jax.jit(sharded)(*args)
+    return res._replace(x=unpartition_bsr_vector(pb, res.x))

@@ -168,20 +168,48 @@ class PartitionedOperator:
     send_slots: jnp.ndarray  # (P, s_max) local owned slots exported to S
     perm: np.ndarray  # layout order: perm[i] = old id of i-th laid-out row
     fill_slots: np.ndarray  # padded slot of the i-th laid-out row
+    # Boundary-row split for halo/compute overlap (BASELINE north star:
+    # halos "overlapped with interior SpMV compute"; SURVEY §5): the rows
+    # whose ELL entries reference foreign columns, duplicated so they can be
+    # recomputed AFTER the all_gather lands while interior rows proceed
+    # without it.
+    bnd_idx: jnp.ndarray  # (P, B) local slots of boundary rows (pad → n_pad)
+    bnd_data: jnp.ndarray  # (P, B, K)
+    bnd_cols: jnp.ndarray  # (P, B, K)
 
-    def local_matvec(self, axis_name: str):
+    def local_matvec(self, axis_name: str, *, overlap: bool = True):
         """Per-device SpMV closure for use inside shard_map.
 
         x_loc: (n_pad,) owned values → (n_pad,) result rows.
-        One all_gather (halo) + one gather + row reduction.
+        One all_gather (halo) + gathers + row reductions.
+
+        ``overlap=True`` (default): the bulk row pass reads foreign slots as
+        zeros, so it carries NO data dependence on the all_gather — XLA's
+        async all-gather-start/done pair can hide the ICI transfer behind
+        it — and the few boundary rows are recomputed from the landed halos
+        and scattered over their partial results.  Interior rows never
+        reference foreign slots and boundary rows keep their original
+        per-row summation order, so the result is BIT-IDENTICAL to the
+        unoverlapped path (tested).
         """
         from jax import lax
 
-        def matvec(x_loc, data_loc, cols_loc, send_loc):
+        n_pad, s_max = self.n_pad, self.s_max
+
+        def matvec(x_loc, data_loc, cols_loc, send_loc, bnd_idx, bnd_data, bnd_cols):
             contrib = x_loc[send_loc]  # (s_max,)
             shared = lax.all_gather(contrib, axis_name)  # (P, s_max)
+            if not overlap:
+                x_ext = jnp.concatenate([x_loc, shared.reshape(-1)])
+                return jnp.sum(data_loc * x_ext[cols_loc], axis=1)
+            p = lax.axis_size(axis_name)
+            zeros_ext = jnp.zeros((p * s_max,), x_loc.dtype)
+            x_ext0 = jnp.concatenate([x_loc, zeros_ext])
+            y = jnp.sum(data_loc * x_ext0[cols_loc], axis=1)  # halo-free pass
             x_ext = jnp.concatenate([x_loc, shared.reshape(-1)])
-            return jnp.sum(data_loc * x_ext[cols_loc], axis=1)
+            y_bnd = jnp.sum(bnd_data * x_ext[bnd_cols], axis=1)
+            y_pad = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
+            return y_pad.at[bnd_idx].set(y_bnd)[:n_pad]
 
         return matvec
 
@@ -279,6 +307,21 @@ def partition_csr(
     data_l[p_r[order_nz], within_r[order_nz], pos_in_row] = data[order_nz]
     cols_l[p_r[order_nz], within_r[order_nz], pos_in_row] = local_col[order_nz]
 
+    # Boundary rows (any foreign column) per partition, duplicated for the
+    # overlapped matvec; padding rows point at the n_pad dump slot with
+    # all-zero data.
+    has_foreign = (cols_l >= n_pad).any(axis=2)  # (P, n_pad)
+    b_counts = has_foreign.sum(axis=1)
+    B = max(int(b_counts.max()) if P else 0, 1)
+    bnd_idx = np.full((P, B), n_pad, dtype=np.int32)
+    bnd_data = np.zeros((P, B, K), dtype=data.dtype)
+    bnd_cols = np.zeros((P, B, K), dtype=np.int32)
+    for p in range(P):
+        slots = np.nonzero(has_foreign[p])[0]
+        bnd_idx[p, : len(slots)] = slots
+        bnd_data[p, : len(slots)] = data_l[p, slots]
+        bnd_cols[p, : len(slots)] = cols_l[p, slots]
+
     return PartitionedOperator(
         num_parts=P,
         n_global=n,
@@ -289,6 +332,9 @@ def partition_csr(
         send_slots=jnp.asarray(send_slots),
         perm=perm,
         fill_slots=fill_slots,
+        bnd_idx=jnp.asarray(bnd_idx),
+        bnd_data=jnp.asarray(bnd_data),
+        bnd_cols=jnp.asarray(bnd_cols),
     )
 
 

@@ -35,21 +35,26 @@ def make_device_mesh(num_parts: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices[:num_parts]), (AXIS,))
 
 
-def sharded_matvec(pop: PartitionedOperator, mesh: Mesh):
+def sharded_matvec(pop: PartitionedOperator, mesh: Mesh, *, overlap: bool = True):
     """Build a jitted global matvec (P, n_pad) → (P, n_pad) over the mesh."""
-    local = pop.local_matvec(AXIS)
+    local = pop.local_matvec(AXIS, overlap=overlap)
 
-    def fn(x, data, cols, send):
+    def fn(x, *ops):
         # shard_map blocks keep a leading axis of length 1 — strip/restore it.
-        return local(x[0], data[0], cols[0], send[0])[None]
+        return local(x[0], *(o[0] for o in ops))[None]
 
     sharded = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=tuple([P(AXIS)] * 7),
         out_specs=P(AXIS),
     )
-    return jax.jit(lambda x: sharded(x, pop.data, pop.cols, pop.send_slots))
+    return jax.jit(
+        lambda x: sharded(
+            x, pop.data, pop.cols, pop.send_slots,
+            pop.bnd_idx, pop.bnd_data, pop.bnd_cols,
+        )
+    )
 
 
 def sharded_solve(
@@ -62,6 +67,8 @@ def sharded_solve(
     options: SolverOptions | None = None,
     precond_diag=None,
     precond=None,
+    ras: str | None = None,
+    overlap: bool = True,
     **solver_kw,
 ):
     """Solve A·x = b with the operator partitioned over the device mesh.
@@ -83,13 +90,22 @@ def sharded_solve(
       ratio=r)`` (each polynomial term calls the halo-exchanging local
       operator, so it is distributed-correct by construction) or a
       ``KrylovPreconditioner`` with an inner method + ``axis_name`` wiring
-      handled here.  Host-factorized preconditioners (ILU/IC/SGS/AMG) hold
-      global index tables and are NOT shard-safe.
+      handled here.  GLOBAL host-factorized preconditioners (ILU/IC/SGS/AMG
+      instances from :mod:`stormx.precond`) hold global index tables and
+      are NOT shard-safe — use ``ras`` instead.
+    * ``ras`` — ``"ilu0"`` or ``"sgs"``: restricted additive Schwarz — each
+      partition's OWNED diagonal block is host-factorized and applied
+      locally (:mod:`stormx.parallel.ras`).  Unlike every other option the
+      preconditioned operator depends on the partition count (block
+      coupling is dropped at partition boundaries), so histories are NOT
+      partition-invariant — expect iteration counts to grow with P.
+      ILU(0) blocks are nonsymmetric → pair with BiCGStab/GMRES; SGS blocks
+      of an SPD operator stay SPD → CG-safe.
     """
     mesh = mesh or make_device_mesh(pop.num_parts)
     opts = options or SolverOptions()
     solver_fn = SOLVERS[method.lower()]
-    local_mv = pop.local_matvec(AXIS)
+    local_mv = pop.local_matvec(AXIS, overlap=overlap)
 
     bp = partition_vector(pop, b)
     xp0 = (
@@ -101,6 +117,12 @@ def sharded_solve(
     extras = {}
     if precond_diag is not None:
         extras["diag"] = partition_vector(pop, np.asarray(precond_diag))
+    if ras is not None:
+        if precond_diag is not None or precond is not None:
+            raise ValueError("ras=... excludes precond/precond_diag")
+        from stormx.parallel.ras import build_ras_factors
+
+        extras.update(build_ras_factors(pop, kind=ras))
     if method.lower() == "idrs" and "shadow" not in solver_kw:
         # The shadow basis must be drawn in GLOBAL layout: device-local
         # draws with a replicated key tile the same values on every device,
@@ -117,23 +139,47 @@ def sharded_solve(
         )  # (P, s-1, n_pad)
     extra_keys = tuple(extras)
 
-    def local_solve(b_loc, x0_loc, data, cols, send, *extra_vals):
+    def local_solve(b_loc, x0_loc, data, cols, send, bidx, bdata, bcols, *extra_vals):
         b_loc, x0_loc = b_loc[0], x0_loc[0]
         data, cols, send = data[0], cols[0], send[0]
-        op = make_operator(lambda v: local_mv(v, data, cols, send))
+        bidx, bdata, bcols = bidx[0], bdata[0], bcols[0]
+        op = make_operator(
+            lambda v: local_mv(v, data, cols, send, bidx, bdata, bcols)
+        )
         kw = dict(solver_kw)
         pre = precond
         if pre is not None and hasattr(pre, "with_axis_name"):
             # Functional re-wire (KrylovPreconditioner: inner psums); never
             # mutate the user's instance.
             pre = pre.with_axis_name(AXIS)
+        ras_vals = {}
         for key, val in zip(extra_keys, extra_vals):
             if key == "diag":
                 from stormx.precond import JacobiPreconditioner
 
                 pre = JacobiPreconditioner(diag=val[0])
+            elif key.startswith("ras_"):
+                ras_vals[key] = val[0]
             else:
                 kw[key] = val[0]
+        if ras_vals:
+            from stormx.precond.triangular import TriangularFactor, tri_solve
+            from stormx.solvers.preconditioner import FunctionPreconditioner
+
+            f1 = TriangularFactor(
+                ras_vals["ras_lr1"], ras_vals["ras_ec1"],
+                ras_vals["ras_ev1"], ras_vals["ras_id1"],
+            )
+            f2 = TriangularFactor(
+                ras_vals["ras_lr2"], ras_vals["ras_ec2"],
+                ras_vals["ras_ev2"], ras_vals["ras_id2"],
+            )
+            mid = ras_vals["ras_mid"]
+
+            def ras_apply(r, f1=f1, f2=f2, mid=mid):
+                return tri_solve(f2, mid * tri_solve(f1, r))
+
+            pre = FunctionPreconditioner(ras_apply)
         res = solver_fn(
             op,
             b_loc,
@@ -155,16 +201,17 @@ def sharded_solve(
         relative_error=P(),
         history=P(),
     )
-    n_args = 5 + len(extras)
+    n_args = 8 + len(extras)
     sharded = jax.shard_map(
         local_solve,
         mesh=mesh,
         in_specs=tuple([P(AXIS)] * n_args),
         out_specs=out_specs,
     )
-    args = (bp, xp0, pop.data, pop.cols, pop.send_slots) + tuple(
-        extras[k] for k in extra_keys
-    )
+    args = (
+        bp, xp0, pop.data, pop.cols, pop.send_slots,
+        pop.bnd_idx, pop.bnd_data, pop.bnd_cols,
+    ) + tuple(extras[k] for k in extra_keys)
     res = jax.jit(sharded)(*args)
     x_global = unpartition_vector(pop, res.x)
     return res._replace(x=x_global)

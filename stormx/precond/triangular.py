@@ -159,7 +159,10 @@ def tri_solve(tri: TriangularFactor, r: jax.Array, *, sweeps: int | None = None)
         return lax.fori_loop(0, sweeps, body, y)
 
     r_pad = jnp.pad(r, (0, 1))
-    y0 = jnp.zeros(n + 1, dtype=r.dtype)
+    # Derive the zeros from r so the loop carry is device-varying under
+    # shard_map (fresh zeros are replicated-typed, but the body writes
+    # varying data — same pattern as lgmres's Zaug init).
+    y0 = 0.0 * r_pad
 
     def body(l, y):
         rows = tri.level_rows[l]  # (W,) padded with n

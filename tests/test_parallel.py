@@ -275,6 +275,35 @@ class TestBandedDistributed:
         with pytest.raises(ValueError, match="halo"):
             partition_dia(dia, 32)
 
+    @pytest.mark.parametrize("p", [2, 4, 8])
+    def test_overlap_bit_identical(self, p, rng):
+        """Interior/boundary split (ppermutes overlap interior FMA streams)
+        must be bit-identical to the plain concat-then-slice path."""
+        import jax
+        from jax.sharding import PartitionSpec as PS
+        from stormx.parallel import partition_dia
+
+        dia = self._poisson_dia(16)
+        n = dia.shape[0]
+        pdia = partition_dia(dia, p)
+        mesh = make_device_mesh(p)
+        xp = np.zeros(p * pdia.n_loc)
+        xp[:n] = rng.standard_normal(n)
+        xp = jnp.asarray(xp.reshape(p, -1))
+        ys = {}
+        for overlap in (False, True):
+            local = pdia.local_matvec("parts", overlap=overlap)
+            mv = jax.jit(
+                jax.shard_map(
+                    lambda xl, dl: local(xl[0], dl[0])[None],
+                    mesh=mesh,
+                    in_specs=(PS("parts"), PS("parts")),
+                    out_specs=PS("parts"),
+                )
+            )
+            ys[overlap] = np.asarray(mv(xp, pdia.data))
+        np.testing.assert_array_equal(ys[True], ys[False])
+
 
 class TestShardedPreconditioner:
     """General shard-safe preconditioners inside sharded_solve."""
@@ -349,6 +378,81 @@ class TestShardedPreconditioner:
         r = np.asarray(csr.matvec(res.x)) - b
         assert np.abs(r).max() < 1e-7
 
+    def test_ras_ilu_beats_jacobi(self):
+        """RAS block-ILU(0)/SGS (BASELINE north star 'ILU-class later'):
+        distributed BiCGStab with per-shard ILU(0) must converge in
+        measurably fewer iterations than Jacobi — and, unlike every other
+        stormx preconditioner, its history DEPENDS on the partition count
+        (coupling dropped at partition boundaries): expected and
+        documented."""
+        csr, b = self._problem(nx=24)
+        opts = SolverOptions(
+            num_iterations=400, absolute_tolerance=1e-9, relative_tolerance=1e-9
+        )
+        diag = np.asarray(csr.data)[
+            np.asarray(csr.indices)
+            == np.repeat(np.arange(csr.shape[0]), np.diff(np.asarray(csr.row_ptr)))
+        ]
+        iters = {}
+        for parts in (2, 4):
+            pop = partition_csr(csr, parts)
+            mesh = make_device_mesh(parts)
+            r_jac = sharded_solve(pop, b, mesh=mesh, method="bicgstab",
+                                  options=opts, precond_diag=diag)
+            r_ilu = sharded_solve(pop, b, mesh=mesh, method="bicgstab",
+                                  options=opts, ras="ilu0")
+            assert bool(r_jac.converged) and bool(r_ilu.converged)
+            assert int(r_ilu.num_iterations) < int(r_jac.num_iterations)
+            x = np.asarray(r_ilu.x)
+            assert np.abs(np.asarray(csr.matvec(x)) - b).max() < 1e-7
+            iters[parts] = int(r_ilu.num_iterations)
+            # SGS blocks of the SPD operator stay SPD → CG-safe.
+            r_sgs = sharded_solve(pop, b, mesh=mesh, method="cg",
+                                  options=opts, ras="sgs")
+            assert bool(r_sgs.converged)
+            assert np.abs(
+                np.asarray(csr.matvec(np.asarray(r_sgs.x))) - b
+            ).max() < 1e-7
+        # Partition-count sensitivity: more parts → weaker coupling.
+        assert iters[4] >= iters[2]
+
+    def test_overlap_bit_identical(self):
+        """Halo/compute overlap (BASELINE north star; SURVEY §5): the
+        interior/boundary row split must be BIT-IDENTICAL to the plain
+        collective-then-compute path — per-row summation order is
+        preserved, only the schedulable dependence structure changes."""
+        import jax
+        from jax.sharding import PartitionSpec as PS
+
+        csr, b = self._problem()
+        for parts in (2, 4, 8):
+            pop = partition_csr(csr, parts)
+            mesh = make_device_mesh(parts)
+            xp = partition_vector(pop, b)
+            y_plain = np.asarray(sharded_matvec(pop, mesh, overlap=False)(xp))
+            y_over = np.asarray(sharded_matvec(pop, mesh, overlap=True)(xp))
+            np.testing.assert_array_equal(y_over, y_plain)
+            # Whole solves: the two variants are different XLA programs, so
+            # reduction FUSION inside the CG loop may differ (XLA only
+            # guarantees determinism within one compiled program) — assert
+            # fp64-tolerance history/solution equality, not bitwise.
+            # Disable early exit so both runs execute the same fixed
+            # iteration count (a tolerance-crossing flip would misalign the
+            # NaN-padded histories).
+            opts = SolverOptions(
+                num_iterations=40, absolute_tolerance=0.0, relative_tolerance=0.0
+            )
+            r0 = sharded_solve(pop, b, mesh=mesh, method="cg",
+                               options=opts, overlap=False)
+            r1 = sharded_solve(pop, b, mesh=mesh, method="cg",
+                               options=opts, overlap=True)
+            np.testing.assert_allclose(
+                np.asarray(r1.x), np.asarray(r0.x), rtol=1e-10, atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(r1.history), np.asarray(r0.history), rtol=1e-8
+            )
+
     def test_sharded_solve_does_not_mutate_preconditioner(self):
         """Regression: sharded_solve used to set pre._axis_name in place, so
         reusing the same instance in a later SERIAL solve psum'd outside any
@@ -392,14 +496,15 @@ class TestShardedFvMarch:
         bcs = {1: slip_bc}
         dt, steps = 1e-3, 20
 
-        serial = FvSolver(dmesh, order=1, bcs=bcs).march(u0, dt, steps)
-        for parts in (1, 4, 8):
-            pfv = partition_fv(dmesh, parts)
-            dist = sharded_fv_march(pfv, u0, dt, steps, bcs=bcs)
-            np.testing.assert_allclose(
-                np.asarray(dist), np.asarray(serial), atol=1e-12,
-                err_msg=f"P={parts}",
-            )
+        for order in (1, 2):
+            serial = FvSolver(dmesh, order=order, bcs=bcs).march(u0, dt, steps)
+            for parts in (1, 4, 8):
+                pfv = partition_fv(dmesh, parts)
+                dist = sharded_fv_march(pfv, u0, dt, steps, bcs=bcs, order=order)
+                np.testing.assert_allclose(
+                    np.asarray(dist), np.asarray(serial), atol=1e-12,
+                    err_msg=f"P={parts} order={order}",
+                )
 
     def test_hllc_distributed(self):
         import __graft_entry__ as g
