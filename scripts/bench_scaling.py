@@ -114,6 +114,28 @@ def main():
         print(f"P={ps[0]} vs P={p}: early-history drift {drift:.2e}, solution diff {xdiff:.2e}")
         assert drift < 1e-9, "partition-variant early convergence history!"
         assert xdiff < 1e-5, "partition-variant solution!"
+
+    # The per-P efficiency table (BASELINE.md ≥80% target applies to REAL
+    # multi-chip runs; on the virtual CPU mesh all P share one host's cores,
+    # so strong-scaling efficiency here is a structural smoke number only —
+    # the honest artifact is the JSON record the next bench round compares).
+    import json
+
+    base_dt = results[ps[0]][0]
+    table = {
+        str(p): {
+            "wall_s": results[p][0],
+            "iterations": results[p][1],
+            "speedup_vs_p1": base_dt / results[p][0],
+        }
+        for p in ps
+    }
+    print(json.dumps({
+        "metric": "cg_strong_scaling_cpu_mesh",
+        "rows": n,
+        "per_p": table,
+        "note": "virtual CPU mesh shares one host; >=80% target is for real chips",
+    }), flush=True)
     print("scaling structure OK")
 
 

@@ -1,0 +1,269 @@
+"""Sliced-ELLPACK with per-row-block column windows — the unstructured
+TPU SpMV fast path (SURVEY §7 hard-part #1).
+
+TPU gathers serialize (~0.14 Gnnz/s measured for ``ELL.matvec``'s
+``x[cols]`` on one v5e chip — ~150M gathered elements/s regardless of
+layout), so the general unstructured operator needs a gather-free
+formulation.  After RCM reordering (``stormx.parallel.rcm_order``) every
+nonzero of a mesh operator lies within a narrow band (bandwidth ~262 on
+the reference's 79,672-cell ``step`` mesh), so the columns touched by any
+block of ``R`` consecutive rows fit a window of ``C ≈ R + 2·bandwidth``
+values.
+
+The windows use a UNIFORM stride: block b reads x_pad[R·b : R·b + C]
+(x left-padded by the lower bandwidth), so extracting ALL windows is
+``C/R`` static shifted slices of a reshaped x — pure data movement, no
+gather and no per-block dynamic slice (measured: per-block dynamic slices
+cost ~0.7 ms for 623 blocks — more than the whole matmul).
+
+Two in-window strategies:
+
+* ``mode="dense"`` (default): per-block dense (R, C) windows precomputed
+  host-side; matvec is one batched MXU einsum('brc,bc->br') at
+  ``Precision.HIGHEST`` (default MXU precision truncates f32 → bf16,
+  ~3e-2 error — CLAUDE.md).  Bandwidth-bound at n·C·4 bytes; measured
+  ~729 GB/s effective on v5e → ~1 Gnnz/s on the step operator, ~7× the
+  gather path.
+* ``mode="onehot"``: gathered[r,k] = Σ_c [local_col==c]·win[c] — an
+  iota-compare/select/reduce the VPU evaluates without materializing the
+  (R, K, C) intermediate.  O(nnz) traffic but O(n·K·C) VPU compute —
+  slower than dense on the step operator (measured); kept because its
+  memory footprint is O(nnz), not O(n·C).
+
+The plain ELL gather path stays as the general-case oracle; tests assert
+both modes match it to roundoff.
+
+Reference analog: ``Utils/Table.hpp:125-190`` (CsrTable) is the storage the
+reference loops over serially; this module is its TPU-native hot form.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SlicedELL", "sell_from_csr", "sell_from_ell", "auto_operator"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass(frozen=True)
+class SlicedELL:
+    """Row-blocked ELL with uniform-stride column windows (gather-free)."""
+
+    data: jax.Array  # (nb, R, K)
+    local_cols: jax.Array  # (nb, R, K) int32 in [0, C); padding → 0 w/ data 0
+    shape: tuple[int, int]
+    window: int  # C (multiple of R)
+    pad_lo: int  # left zero-padding of x (covers the lower bandwidth)
+    mode: str  # "dense" | "onehot"
+    dense_blocks: jax.Array | None  # (nb, R, C), mode="dense" only
+
+    @property
+    def block_rows(self) -> int:
+        return self.data.shape[1]
+
+    def _windows(self, x: jax.Array) -> jax.Array:
+        """(nb, C) windows win[b] = x_pad[R·b : R·b + C] via C/R static
+        shifted slices — no gather, no dynamic slice."""
+        nb, R, _ = self.data.shape
+        C = self.window
+        total = (nb + C // R) * R
+        x_pad = jnp.concatenate(
+            [
+                jnp.zeros((self.pad_lo,), x.dtype),
+                x,
+                jnp.zeros((total - self.pad_lo - x.shape[0],), x.dtype),
+            ]
+        )
+        xt = x_pad.reshape(-1, R)  # (nb + C/R, R)
+        return jnp.concatenate(
+            [xt[j : j + nb] for j in range(C // R)], axis=1
+        )  # (nb, C)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        win = self._windows(x)  # (nb, C)
+        if self.mode == "dense":
+            y = jnp.einsum(
+                "brc,bc->br",
+                self.dense_blocks,
+                win.astype(self.dense_blocks.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, self.window), 3)
+            eq = self.local_cols[..., None] == iota
+            gathered = jnp.sum(
+                jnp.where(eq, win[:, None, None, :], jnp.zeros((), x.dtype)),
+                axis=-1,
+            )  # (nb, R, K)
+            y = jnp.sum(self.data * gathered, axis=-1)
+        return y.reshape(-1)[: self.shape[0]]
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+
+def _register_sliced_ell():
+    data_fields = ("data", "local_cols", "dense_blocks")
+    meta_fields = ("shape", "window", "pad_lo", "mode")
+
+    def flatten(m):
+        return (
+            tuple(getattr(m, f) for f in data_fields),
+            tuple(getattr(m, f) for f in meta_fields),
+        )
+
+    def unflatten(meta, data):
+        kw = dict(zip(data_fields, data))
+        kw.update(zip(meta_fields, meta))
+        return SlicedELL(**kw)
+
+    jax.tree_util.register_pytree_node(SlicedELL, flatten, unflatten)
+
+
+_register_sliced_ell()
+
+
+def sell_from_ell(ell, *, block_rows: int = 128, mode: str = "dense") -> SlicedELL:
+    """Build from an ELL operator (rows assumed already well-ordered, e.g.
+    RCM — use :func:`sell_from_csr` to reorder).  Raises if the band is so
+    wide that windows would exceed ~4·n (use the ELL gather path then)."""
+    return _build(
+        np.asarray(ell.data), np.asarray(ell.cols), ell.shape, block_rows, mode
+    )
+
+
+def _build(data, cols, shape, R, mode):
+    n, K = data.shape
+    nb = -(-n // R)
+    pad = nb * R - n
+    if pad:
+        data = np.concatenate([data, np.zeros((pad, K), data.dtype)])
+        cols = np.concatenate([cols, np.zeros((pad, K), cols.dtype)])
+    db = data.reshape(nb, R, K)
+    cb = cols.reshape(nb, R, K)
+    live = db != 0
+    rows = np.broadcast_to(
+        np.arange(nb * R).reshape(nb, R, 1), cb.shape
+    )
+    # Lower/upper bandwidth over REAL nonzeros.
+    d = cb.astype(np.int64) - rows
+    b_lo = int(max(-(d[live].min() if live.any() else 0), 0))
+    b_hi = int(max(d[live].max() if live.any() else 0, 0))
+    pad_lo = b_lo
+    C = _round_up(pad_lo + R + b_hi, max(R, 128))
+    # Window of block b covers cols [R·b − pad_lo, R·b − pad_lo + C).
+    base = (np.arange(nb) * R - pad_lo)[:, None, None]
+    local = np.where(live, cb - base, 0).astype(np.int64)
+    if live.any():
+        assert local[live].min() >= 0 and local[live].max() < C
+    dense = None
+    if mode == "dense":
+        dense = np.zeros((nb, R, C), dtype=data.dtype)
+        b_idx = np.repeat(np.arange(nb), R * K)
+        r_idx = np.tile(np.repeat(np.arange(R), K), nb)
+        np.add.at(dense, (b_idx, r_idx, local.reshape(-1)), db.reshape(-1))
+    return SlicedELL(
+        data=jnp.asarray(db),
+        local_cols=jnp.asarray(local.astype(np.int32)),
+        shape=shape,
+        window=C,
+        pad_lo=pad_lo,
+        mode=mode,
+        dense_blocks=None if dense is None else jnp.asarray(dense),
+    )
+
+
+def sell_from_csr(
+    csr, *, block_rows: int = 128, mode: str = "dense", reorder: bool = True
+):
+    """CSR → (SlicedELL, perm): RCM-reorder (bandwidth-minimizing, so the
+    uniform windows stay narrow), then slice into row blocks.
+
+    ``perm[new] = old``; solve in permuted space (``b_p = b[perm]``) and map
+    back with ``x = x_p[inv]`` where ``inv[perm] = arange(n)`` — identical
+    contract to :func:`stormx.fvm.divgrad.assemble_divgrad_dia`.
+    """
+    from stormx.sparse.formats import ell_from_csr
+
+    n = csr.shape[0]
+    row_ptr = np.asarray(csr.row_ptr)
+    indices = np.asarray(csr.indices)
+    data = np.asarray(csr.data)
+    if reorder:
+        from stormx.parallel import rcm_order
+
+        rows = np.repeat(np.arange(n), np.diff(row_ptr))
+        perm = rcm_order(n, rows, indices.astype(np.int64))
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        new_rows = inv[rows]
+        new_cols = inv[indices]
+        order = np.lexsort((new_cols, new_rows))
+        rp = np.zeros(n + 1, dtype=np.int32)
+        np.add.at(rp, new_rows + 1, 1)
+        from stormx.sparse.formats import CSR
+
+        csr = CSR(
+            data=jnp.asarray(data[order]),
+            indices=jnp.asarray(new_cols[order].astype(np.int32)),
+            row_ptr=jnp.asarray(np.cumsum(rp).astype(np.int32)),
+            shape=csr.shape,
+        )
+    else:
+        perm = np.arange(n, dtype=np.int64)
+    ell = ell_from_csr(csr)
+    return _build(
+        np.asarray(ell.data), np.asarray(ell.cols), csr.shape, block_rows, mode
+    ), perm
+
+
+def auto_operator(
+    csr, *, reorder: bool = True, max_diags: int = 64, block_rows: int = 128,
+    mode: str = "dense",
+):
+    """Pick the TPU fast path for a sparse operator → (operator, perm).
+
+    Measured v5e landscape (step-mesh operator, f32): DIA streams ~95-111
+    Gnnz/s when the operator IS banded with few populated diagonals
+    (structured stencils); the windowed SlicedELL runs ~0.95 Gnnz/s on
+    genuinely unstructured operators (bandwidth roofline on its padded
+    windows — 6.6× the ELL gather's 0.14); the ELL ``x[cols]`` gather is
+    the correctness oracle only.  This helper applies that policy: RCM,
+    then DIA iff ≤ ``max_diags`` distinct offsets survive, else SlicedELL.
+    """
+    from stormx.parallel import rcm_order
+    from stormx.sparse.formats import CSR, dia_from_csr
+
+    n = csr.shape[0]
+    row_ptr = np.asarray(csr.row_ptr)
+    indices = np.asarray(csr.indices)
+    data = np.asarray(csr.data)
+    rows = np.repeat(np.arange(n), np.diff(row_ptr))
+    if reorder:
+        perm = rcm_order(n, rows, indices.astype(np.int64))
+    else:
+        perm = np.arange(n, dtype=np.int64)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    new_rows, new_cols = inv[rows], inv[indices]
+    n_offsets = len(np.unique(new_cols - new_rows))
+    order = np.lexsort((new_cols, new_rows))
+    rp = np.zeros(n + 1, dtype=np.int32)
+    np.add.at(rp, new_rows + 1, 1)
+    pcsr = CSR(
+        data=jnp.asarray(data[order]),
+        indices=jnp.asarray(new_cols[order].astype(np.int32)),
+        row_ptr=jnp.asarray(np.cumsum(rp).astype(np.int32)),
+        shape=csr.shape,
+    )
+    if n_offsets <= max_diags:
+        return dia_from_csr(pcsr, max_diags=max_diags), perm
+    sell, _ = sell_from_csr(pcsr, block_rows=block_rows, mode=mode, reorder=False)
+    return sell, perm

@@ -183,3 +183,103 @@ class TestDIA:
             return mat @ x
 
         np.testing.assert_allclose(f(dia, x), dense @ np.asarray(x), rtol=1e-12)
+
+
+class TestSlicedEll:
+    """Uniform-stride windowed SpMV — the unstructured TPU fast path
+    (gather-free; measured ~6.6x the ELL gather on the step operator)."""
+
+    def _mesh_operator(self):
+        from stormx.fvm.divgrad import assemble_laplacian
+        from stormx.mesh import structured_tri_rect
+
+        mesh = structured_tri_rect(13, 11)  # 286 cells, unstructured-ish
+        return assemble_laplacian(mesh)
+
+    @pytest.mark.parametrize("mode", ["dense", "onehot"])
+    @pytest.mark.parametrize("block_rows", [8, 128])
+    def test_matches_ell_oracle(self, mode, block_rows):
+        from stormx.sparse import sell_from_csr
+
+        ell = self._mesh_operator()
+        n = ell.shape[0]
+        sell, perm = sell_from_csr(
+            ell.to_csr(), block_rows=block_rows, mode=mode
+        )
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        x = np.random.default_rng(0).standard_normal(n)
+        y_ref = np.asarray(ell.matvec(jnp.asarray(x)))
+        y = np.asarray(sell.matvec(jnp.asarray(x[perm])))[inv]
+        np.testing.assert_allclose(y, y_ref, atol=1e-12)
+
+    def test_jits(self):
+        import jax
+
+        from stormx.sparse import sell_from_csr
+
+        ell = self._mesh_operator()
+        sell, perm = sell_from_csr(ell.to_csr())
+        x = jnp.asarray(np.random.default_rng(1).standard_normal(ell.shape[0]))
+
+        @jax.jit
+        def f(s, v):
+            return s.matvec(v)
+
+        np.testing.assert_allclose(
+            np.asarray(f(sell, x)), np.asarray(sell.matvec(x)), rtol=1e-12
+        )
+
+    def test_auto_operator_policy(self):
+        from stormx.sparse import DIA, SlicedELL, auto_operator, csr_from_dense
+
+        # Structured 5-point stencil → DIA (few offsets survive RCM... the
+        # natural order already has 5; RCM keeps it banded).
+        nx = 8
+        n = nx * nx
+        a = np.zeros((n, n))
+        idx = np.arange(n)
+        i, j = idx // nx, idx % nx
+        a[idx, idx] = 4.0
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ii, jj = i + di, j + dj
+            m = (ii >= 0) & (ii < nx) & (jj >= 0) & (jj < nx)
+            a[idx[m], (ii * nx + jj)[m]] = -1.0
+        op, perm = auto_operator(csr_from_dense(a), max_diags=64)
+        assert isinstance(op, DIA)
+        x = np.random.default_rng(2).standard_normal(n)
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        y = np.asarray(op.matvec(jnp.asarray(x[perm])))[inv]
+        np.testing.assert_allclose(y, a @ x, atol=1e-12)
+
+        # Scattered operator → SlicedELL.
+        rng = np.random.default_rng(3)
+        b = np.eye(n) * 4.0
+        pairs = rng.integers(0, n, size=(300, 2))
+        b[pairs[:, 0], pairs[:, 1]] = 1.0
+        op2, perm2 = auto_operator(csr_from_dense(b), max_diags=8)
+        assert isinstance(op2, SlicedELL)
+        inv2 = np.empty(n, dtype=np.int64)
+        inv2[perm2] = np.arange(n)
+        y2 = np.asarray(op2.matvec(jnp.asarray(x[perm2])))[inv2]
+        np.testing.assert_allclose(y2, b @ x, atol=1e-12)
+
+    def test_cg_through_sliced_ell(self):
+        from stormx.solvers import SolverOptions, cg, make_operator
+        from stormx.sparse import sell_from_csr
+
+        ell = self._mesh_operator()
+        n = ell.shape[0]
+        sell, perm = sell_from_csr(ell.to_csr())
+        rng = np.random.default_rng(4)
+        rhs = rng.standard_normal(n)
+        rhs -= rhs.mean()  # Laplacian nullspace consistency
+        opts = SolverOptions(
+            num_iterations=800, absolute_tolerance=0.0, relative_tolerance=1e-10
+        )
+        res = cg(make_operator(sell.matvec), jnp.asarray(rhs[perm]),
+                 jnp.zeros(n), options=opts)
+        assert bool(res.converged)
+        r = np.asarray(sell.matvec(res.x)) - rhs[perm]
+        assert np.linalg.norm(r) < 1e-9 * max(np.linalg.norm(rhs), 1.0)
