@@ -48,7 +48,10 @@ def _watchdog():
     os._exit(2)
 
 
-threading.Thread(target=_watchdog, daemon=True).start()
+def _start_watchdog():
+    # Started from main() only — importing this module (e.g. for
+    # poisson5_diags) must not arm a process killer.
+    threading.Thread(target=_watchdog, daemon=True).start()
 
 NX = 2048  # 4.19M rows, 20.9M nnz — HBM-bandwidth-bound on one chip
 REPS = 200
@@ -86,6 +89,8 @@ def numpy_dia_spmv(offsets, data, x):
 
 def main():
     import os
+
+    _start_watchdog()
 
     import jax
 

@@ -52,7 +52,7 @@ def main():
     rng = np.random.default_rng(0)
 
     def slope(solve_fn, rhs_maker, lo, hi):
-        """Marginal seconds/iteration between two fixed budgets — min of 3
+        """Marginal seconds/iteration between two fixed budgets — min of a few
         timed calls per budget (fresh rhs each, so the relay cannot memoize)
         to shed its dispatch-latency noise."""
         solve_fn(rhs_maker(), lo).block_until_ready()  # compile lo
@@ -92,8 +92,8 @@ def main():
         return jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
     for name, method, lo, hi in (
-        ("cg", cg, 400, 2000),
-        ("gmres", gmres, 150, 750),
+        ("cg", cg, 2000, 20000),
+        ("gmres", gmres, 1000, 8000),
     ):
         per = slope(dia_solver(method), rhs, lo, hi)
         budgets[name] = per
@@ -144,7 +144,7 @@ def main():
         r = rng.standard_normal(ns).astype(np.float32)
         return jnp.asarray(r - r.mean())
 
-    per_s = slope(step_solver, rhs_s, 1000, 5000)
+    per_s = slope(step_solver, rhs_s, 2000, 20000)
     emit(metric="cg_iters_per_s_step", value=1.0 / per_s, unit="iters/s",
          s_per_iter=per_s, rows=ns, layout="sliced_ell_dense128")
 

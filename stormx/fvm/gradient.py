@@ -19,13 +19,26 @@ _EPS = 1e-14  # GradientScheme.hpp:58
 
 
 def lsq_gradient_matrices(dmesh):
-    """(num_cells, dim, dim) inverse LSQ matrices (GradientScheme.hpp:50-62)."""
+    """(num_cells, dim, dim) inverse LSQ matrices (GradientScheme.hpp:50-62).
+
+    Regularization is the reference's absolute 1e-14 PLUS a dtype-aware
+    relative term: corner cells with < dim independent neighbors make
+    Σ dr⊗dr rank-deficient, and in float32 an absolute 1e-14 underflows
+    against O(h²) entries — the inverse then carries inf and the whole
+    order-2 scheme goes NaN.  Scaling by the trace keeps the inverse finite
+    in every dtype (the damping is ~100·ε_machine relative — below the
+    gradient's own rounding error).
+    """
     centers = dmesh.cell_centers  # (n, dim)
     adj = dmesh.cell_adj_ell  # (n, K)
     dr = centers[adj] - centers[:, None, :]  # (n, K, dim)
     outer = jnp.einsum("nki,nkj->nij", dr, dr)
     dim = centers.shape[1]
-    return jnp.linalg.inv(outer + _EPS * jnp.eye(dim, dtype=centers.dtype))
+    tr = jnp.trace(outer, axis1=-2, axis2=-1)
+    eps = _EPS + 100.0 * jnp.finfo(centers.dtype).eps * tr
+    return jnp.linalg.inv(
+        outer + eps[:, None, None] * jnp.eye(dim, dtype=centers.dtype)
+    )
 
 
 def lsq_gradients(dmesh, u, g_mats=None):

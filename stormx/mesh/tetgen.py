@@ -50,6 +50,11 @@ def read_tetgen(prefix: str) -> UnstructuredMesh:
     ids = body[:, 0].astype(np.int64)
     base = int(ids.min())  # Triangle may index from 0 or 1
     positions = body[:, 1 : 1 + dim]
+    # Per-node boundary markers (IoTetgen.hpp:52-99 reads them when the
+    # header's last field is 1): the column after the attributes.
+    node_labels = None
+    if has_labels and body.shape[1] > 1 + dim + num_attribs:
+        node_labels = body[:, 1 + dim + num_attribs].astype(np.int64)
 
     # --- boundary markers from .edge (2D) or .face (3D) -------------------
     marker_file = prefix + ("edge" if dim == 2 else "face")
@@ -80,4 +85,6 @@ def read_tetgen(prefix: str) -> UnstructuredMesh:
         - base
     )
 
-    return build_mesh(positions, cells, boundary_face_labels=boundary_labels)
+    mesh = build_mesh(positions, cells, boundary_face_labels=boundary_labels)
+    mesh.node_labels = node_labels
+    return mesh

@@ -99,6 +99,71 @@ class UnstructuredMesh:
         return np.arange(r[label], r[label + 1])
 
     # ------------------------------------------------------------------
+    # Entity lookup and relabeling (reference ``MeshUnstructured.hpp``:
+    # ``find`` by node set via adjacency intersection (:239-265) and the
+    # ``permute``/``assign_labels`` stable relabel-resort (:443-500)).
+    # TPU-native form: a host-side sorted-key lookup and a FUNCTIONAL
+    # relabel that returns a new label-sorted mesh.
+    # ------------------------------------------------------------------
+    def find_face(self, nodes) -> int | None:
+        """Face index whose node SET equals ``nodes`` (any order), else None."""
+        key = tuple(sorted(int(x) for x in nodes))
+        lut = getattr(self, "_face_lut", None)
+        if lut is None:
+            lut = {
+                tuple(sorted(int(x) for x in row if x >= 0)): i
+                for i, row in enumerate(self.face_nodes)
+            }
+            self._face_lut = lut
+        return lut.get(key)
+
+    def find_cell(self, nodes) -> int | None:
+        """Cell index whose node SET equals ``nodes`` (any order), else None."""
+        key = tuple(sorted(int(x) for x in nodes))
+        lut = getattr(self, "_cell_lut", None)
+        if lut is None:
+            lut = {
+                tuple(sorted(int(x) for x in row if x >= 0)): i
+                for i, row in enumerate(self.cell_nodes)
+            }
+            self._cell_lut = lut
+        return lut.get(key)
+
+    def assign_face_labels(self, new_labels) -> "UnstructuredMesh":
+        """Return a NEW mesh with faces relabeled and stably re-sorted by
+        label (interior 0 first, boundary labels ascending) — the functional
+        analog of ``assign_labels`` (``MeshUnstructured.hpp:464-500``).
+
+        ``new_labels``: (num_faces,) array in the CURRENT face order.
+        Interior faces (two cells) must keep label 0; boundary faces must
+        get labels ≥ 1.
+        """
+        new_labels = np.asarray(new_labels, dtype=np.int64)
+        if new_labels.shape != (self.num_faces,):
+            raise StormError("assign_face_labels needs one label per face")
+        is_interior = self.face_cells[:, 1] >= 0
+        if (new_labels[is_interior] != INTERIOR).any():
+            raise StormError("interior faces must keep label 0")
+        if (new_labels[~is_interior] < 1).any():
+            raise StormError("boundary faces need labels >= 1")
+        perm = np.argsort(new_labels, kind="stable")
+        labels = new_labels[perm]
+        max_label = int(labels.max(initial=0))
+        ranges = np.searchsorted(labels, np.arange(max_label + 2))
+        from dataclasses import replace
+
+        return replace(
+            self,
+            face_nodes=self.face_nodes[perm],
+            face_cells=self.face_cells[perm],
+            face_labels=labels,
+            face_areas=self.face_areas[perm],
+            face_normals=self.face_normals[perm],
+            face_centers=self.face_centers[perm],
+            face_label_ranges=ranges,
+        )
+
+    # ------------------------------------------------------------------
     # Full n-to-m connectivity (reference: the (TopoDim+1)² table matrix of
     # UnstructuredMesh, ``Mallard/MeshUnstructured.hpp:81-129``).  Derived
     # lazily as CSR (row_ptr, cols) pairs — the reference precomputes all of

@@ -27,6 +27,11 @@ from stormx.parallel.bsr import (
 from stormx.parallel.fvm import PartitionedFv, partition_fv, sharded_fv_march
 from stormx.parallel.ras import build_ras_factors
 from stormx.parallel.sharded import make_device_mesh, sharded_matvec, sharded_solve
+from stormx.parallel.sliced import (
+    PartitionedSliced,
+    partition_sliced,
+    sharded_sliced_solve,
+)
 
 __all__ = [
     "PartitionedBSR",
@@ -35,6 +40,9 @@ __all__ = [
     "unpartition_bsr_vector",
     "sharded_bsr_solve",
     "build_ras_factors",
+    "PartitionedSliced",
+    "partition_sliced",
+    "sharded_sliced_solve",
     "PartitionedFv",
     "partition_fv",
     "sharded_fv_march",

@@ -352,6 +352,62 @@ class TestHybridMesh:
         assert shared_nodes == {0, 1, 2}
 
 
+class TestMeshApi:
+    """find-by-node-set and functional relabeling (reference
+    MeshUnstructured.hpp:239-265 find, :443-500 permute/assign_labels)."""
+
+    def test_find_face_and_cell(self, unit_square_two_tris):
+        m = unit_square_two_tris
+        diag = int(m.interior_faces()[0])
+        assert m.find_face([2, 0]) == diag  # any node order
+        assert m.find_face((0, 2)) == diag
+        assert m.find_cell([3, 2, 0]) == 1
+        assert m.find_face([0, 9]) is None
+        assert m.find_cell([0, 1, 3]) is None
+
+    def test_assign_face_labels(self, unit_square_two_tris):
+        m = unit_square_two_tris
+        labels = np.asarray(m.face_labels).copy()
+        bottom = m.find_face([0, 1])
+        labels[bottom] = 2
+        m2 = m.assign_face_labels(labels)
+        assert m2.num_labels == 3
+        assert m2.num_faces_with_label(2) == 1
+        f = m2.boundary_faces(2)[0]
+        assert set(m2.face_nodes[f].tolist()) == {0, 1}
+        # Geometry rides along with the permutation.
+        np.testing.assert_allclose(m2.face_areas[f], 1.0)
+        assert len(m2.interior_faces()) == 1
+        # The relabeled mesh drives the FVM path (ghosts per label).
+        from stormx.fvm.bc import far_field_bc, slip_bc
+        from stormx.fvm.solver import FvSolver
+        from stormx.apps.euler import initial_state
+
+        dm = m2.device_arrays()
+        u = initial_state(m2.num_cells)
+        u2 = FvSolver(dm, order=1, bcs={1: far_field_bc, 2: slip_bc}).step(u, 1e-3)
+        assert np.isfinite(np.asarray(u2)).all()
+
+    def test_assign_face_labels_validates(self, unit_square_two_tris):
+        from stormx.core.exceptions import StormError
+
+        m = unit_square_two_tris
+        labels = np.asarray(m.face_labels).copy()
+        labels[int(m.interior_faces()[0])] = 1
+        with pytest.raises(StormError, match="interior"):
+            m.assign_face_labels(labels)
+        with pytest.raises(StormError, match="one label per face"):
+            m.assign_face_labels(labels[:-1])
+
+    def test_node_labels_from_tetgen(self):
+        m = read_tetgen(STEP_PREFIX)
+        assert m.node_labels is not None
+        assert m.node_labels.shape == (40303,)
+        # The step geometry marks its boundary nodes with nonzero labels.
+        assert (m.node_labels > 0).any()
+        assert (m.node_labels >= 0).all()
+
+
 class TestConnectivityTables:
     """The reference's (TopoDim+1)^2 adjacency matrix, derived lazily as CSR."""
 

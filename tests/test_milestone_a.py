@@ -103,6 +103,24 @@ class TestStepMeshPoisson:
         assert np.nanmax(rel[:100]) < 1e-9
         assert np.nanmax(rel) < 2e-2
 
+    def test_cahn_hilliard_app_at_reference_scale(self, step_problem):
+        # The reference app's actual workload (Playground.cpp:176-210):
+        # implicit Cahn–Hilliard steps on step.1 — each step one CG solve
+        # on the matrix-free biharmonic-ish operator over all 79,672 cells.
+        from stormx.apps.cahn_hilliard import make_step
+
+        mesh, L, diag, rhs = step_problem
+        dmesh = mesh.device_arrays()
+        rng = np.random.default_rng(0)
+        c = jnp.asarray(0.5 + 0.1 * rng.standard_normal(mesh.num_cells))
+        step = make_step(dmesh)
+        for _ in range(3):
+            c, res = step(c)
+            assert bool(res.converged)
+        c_np = np.asarray(c)
+        assert np.isfinite(c_np).all()
+        assert c_np.min() > -0.5 and c_np.max() < 1.5  # stays physical
+
     def test_ras_ilu_fewer_iterations_than_jacobi(self, step_problem):
         # RAS per-shard block-ILU(0) on the reference-scale operator
         # (BASELINE north star "Jacobi/block-diagonal first, ILU-class

@@ -526,3 +526,101 @@ class TestShardedFvMarch:
             pfv, u0, 1e-3, 10, bcs=bcs, flux_scheme=hllc_flux
         )
         np.testing.assert_allclose(np.asarray(dist), np.asarray(serial), atol=1e-12)
+
+
+class TestSlicedDistributed:
+    """Distributed windowed unstructured SpMV: ppermute band halos
+    (overlapped) + per-shard MXU windows (stormx.parallel.sliced)."""
+
+    def _operator(self):
+        from stormx.fvm.divgrad import assemble_laplacian
+        from stormx.mesh import structured_tri_rect
+
+        mesh = structured_tri_rect(13, 11)  # 286 cells
+        ell = assemble_laplacian(mesh)
+        # Shift off the constant nullspace so CG tolerances are clean.
+        data = np.asarray(ell.data).copy()
+        cols = np.asarray(ell.cols)
+        rows = np.arange(ell.shape[0])[:, None]
+        data[(cols == rows) & (np.abs(data) > 0)] += 0.1
+        from stormx.sparse import ELL
+
+        return ELL(data=jnp.asarray(data), cols=ell.cols, shape=ell.shape)
+
+    @pytest.mark.parametrize("p", [2, 4, 8])
+    @pytest.mark.parametrize("overlap", [False, True])
+    def test_matvec_matches_oracle(self, p, overlap, rng):
+        from jax.sharding import PartitionSpec as PS
+        from stormx.parallel import partition_sliced
+        from stormx.parallel.sliced import _partition_vec, _unpartition_vec
+
+        ell = self._operator()
+        n = ell.shape[0]
+        ps = partition_sliced(ell.to_csr(), p)
+        x = rng.standard_normal(n)
+        y_ref = np.asarray(ell.matvec(jnp.asarray(x)))
+        mesh = make_device_mesh(p)
+        local = ps.local_matvec("parts", overlap=overlap)
+        mv = jax.jit(
+            jax.shard_map(
+                lambda xl, bl: local(xl[0], bl[0])[None],
+                mesh=mesh,
+                in_specs=(PS("parts"), PS("parts")),
+                out_specs=PS("parts"),
+            )
+        )
+        y = np.asarray(
+            _unpartition_vec(ps, mv(_partition_vec(ps, x), ps.dense_blocks))
+        )
+        np.testing.assert_allclose(y, y_ref, atol=1e-12)
+
+    def test_overlap_matches_plain(self, rng):
+        from jax.sharding import PartitionSpec as PS
+        from stormx.parallel import partition_sliced
+        from stormx.parallel.sliced import _partition_vec
+
+        ell = self._operator()
+        ps = partition_sliced(ell.to_csr(), 4)
+        xp = _partition_vec(ps, rng.standard_normal(ell.shape[0]))
+        mesh = make_device_mesh(4)
+        ys = {}
+        for overlap in (False, True):
+            local = ps.local_matvec("parts", overlap=overlap)
+            mv = jax.jit(
+                jax.shard_map(
+                    lambda xl, bl, local=local: local(xl[0], bl[0])[None],
+                    mesh=mesh,
+                    in_specs=(PS("parts"), PS("parts")),
+                    out_specs=PS("parts"),
+                )
+            )
+            ys[overlap] = np.asarray(mv(xp, ps.dense_blocks))
+        np.testing.assert_allclose(ys[True], ys[False], rtol=1e-13, atol=1e-15)
+
+    @pytest.mark.parametrize("p", [1, 4, 8])
+    def test_cg_matches_serial_history(self, p, rng):
+        from stormx.parallel import partition_sliced, sharded_sliced_solve
+        from stormx.solvers import make_operator, solve
+
+        ell = self._operator()
+        n = ell.shape[0]
+        b = rng.standard_normal(n)
+        opts = SolverOptions(
+            num_iterations=500, absolute_tolerance=1e-10, relative_tolerance=1e-10
+        )
+        serial = solve(make_operator(ell.matvec), jnp.asarray(b),
+                       method="cg", options=opts)
+        ps = partition_sliced(ell.to_csr(), p)
+        res = sharded_sliced_solve(
+            ps, b, mesh=make_device_mesh(p), method="cg", options=opts
+        )
+        assert bool(res.converged)
+        assert int(res.num_iterations) == int(serial.num_iterations)
+        k = int(serial.num_iterations)
+        np.testing.assert_allclose(
+            np.asarray(res.history)[: k + 1],
+            np.asarray(serial.history)[: k + 1], rtol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.asarray(serial.x), atol=1e-9
+        )
