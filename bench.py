@@ -15,13 +15,24 @@ expression templates, which publish no absolute numbers (BASELINE.md); the
 reference's own harness benches against NumPy
 (``tests/benchmark/CMakeLists.txt:47-93``).
 
-Timing protocol: ``reps`` chained applications inside ONE jit (a
-``lax.fori_loop`` whose carry is the vector), so per-call dispatch latency
-— milliseconds over the remote-TPU relay — is amortized out and XLA cannot
-dead-code any iteration.  A 1/8 rescale per step keeps the iterates
-bounded in float32; it fuses into the same kernel.
+Timing protocol — two defenses, both mandated by measurement (CLAUDE.md):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* **Slope protocol** against the relay's dispatch-latency floor (hundreds
+  of ms, varying): chained applications run inside ONE jit
+  (``lax.fori_loop``), at TWO chain lengths; the per-application time is
+  the SLOPE (T_hi − T_lo)/(REPS_HI − REPS_LO), which cancels the fixed
+  per-dispatch overhead that a single chain timing cannot distinguish
+  from kernel time.
+* **Memoization defense**: the relay returns cached results for a repeated
+  (program, input) pair, so every TIMED run uses an input the device has
+  never seen — ``s·x0`` for a fresh power-of-two ``s`` per run.  The chain
+  is linear and power-of-two scaling is exact in float32, so the expected
+  output is bit-predictable (``s·chain(x0)``) and every timed result is
+  verified against it.  The NumPy oracle checks the warm-up chains.
+
+A 1/8 rescale per step keeps iterates bounded in float32; it fuses into
+the same kernel.  Reported value = best (min) slope over the distinct
+scaled inputs.
 """
 
 import json
@@ -54,7 +65,13 @@ def _start_watchdog():
     threading.Thread(target=_watchdog, daemon=True).start()
 
 NX = 2048  # 4.19M rows, 20.9M nnz — HBM-bandwidth-bound on one chip
-REPS = 200
+# Slope baseline: Δ = 20k applications ≈ 0.6-3 s of kernel time — an order
+# of magnitude above the relay's noise amplitude (measured: Δ=800 gave
+# NON-POSITIVE slopes — wall time there is pure dispatch + result-transfer,
+# independent of rep count; Δ=8000 gave slopes spread 20-34 µs from T_lo
+# noise ~±0.1 s).
+REPS_LO = 500
+REPS_HI = 20500
 
 
 def poisson5_diags(nx: int, dtype=np.float32):
@@ -113,31 +130,83 @@ def main():
     x_np = rng.standard_normal(n).astype(np.float32)
 
     # --- NumPy baseline: the identical chained loop, vectorized, host CPU.
-    # Doubles as the correctness oracle for the whole timed computation.
+    # Doubles as the correctness oracle for the REPS_LO chain.
     numpy_dia_spmv(offsets, diag_np, x_np)  # warm-up
     t0 = time.perf_counter()
-    v_np = x_np
-    for _ in range(REPS):
-        v_np = numpy_dia_spmv(offsets, diag_np, v_np) * np.float32(0.125)
-    base_dt = (time.perf_counter() - t0) / REPS
+    v_lo_np = x_np
+    for _ in range(REPS_LO):
+        v_lo_np = numpy_dia_spmv(offsets, diag_np, v_lo_np) * np.float32(0.125)
+    base_dt = (time.perf_counter() - t0) / REPS_LO
 
-    # --- TPU: DIA SpMV, REPS chained applications inside one jit. ---
+    # --- TPU: DIA SpMV chains at two lengths inside one jit each. ---
     dia = DIA(data=jnp.asarray(diag_np), offsets=offsets, shape=(n, n))
     x = jnp.asarray(x_np)
 
-    @jax.jit
-    def chain(v):
-        return lax.fori_loop(0, REPS, lambda _, v: dia.matvec(v) * 0.125, v)
+    def make_chain(reps):
+        @jax.jit
+        def chain(v):
+            return lax.fori_loop(0, reps, lambda _, v: dia.matvec(v) * 0.125, v)
 
-    y = chain(x)
-    y.block_until_ready()  # compile + warm-up
-    # Correctness gate (entire timed chain vs the NumPy oracle) before timing.
-    err = float(jnp.max(jnp.abs(y - jnp.asarray(v_np))))
+        return chain
+
+    chain_lo, chain_hi = make_chain(REPS_LO), make_chain(REPS_HI)
+
+    # Compile + warm-up; gate the LO chain against the NumPy oracle.
+    y_lo = chain_lo(x)
+    y_hi = chain_hi(x)
+    y_lo.block_until_ready(), y_hi.block_until_ready()
+    err = float(jnp.max(jnp.abs(y_lo - jnp.asarray(v_lo_np))))
     assert err < 1e-2, f"chained SpMV mismatch vs NumPy: {err}"
+    # Gate the HI chain by on-device composition: REPS_HI/REPS_LO repeats of
+    # the NumPy-verified LO program apply the identical op sequence, so the
+    # result is bit-identical — and a DIFFERENT program per step, so the
+    # relay's memoization cannot fake the agreement.
+    assert REPS_HI % REPS_LO == 0
+    y_comp = x
+    for _ in range(REPS_HI // REPS_LO):
+        y_comp = chain_lo(y_comp)
+    comp_err = float(jnp.max(jnp.abs(y_hi - y_comp)))
+    assert comp_err == 0.0, f"hi chain != composed lo chains: {comp_err}"
 
-    t0 = time.perf_counter()
-    chain(x).block_until_ready()
-    dt = (time.perf_counter() - t0) / REPS
+    # Timed runs: fresh inputs per run (memoization defense) at both chain
+    # lengths; per-application time = slope between the lengths (dispatch-
+    # floor defense).  Power-of-two scaling ⇒ exact expected outputs.
+    ref = {REPS_LO: np.asarray(y_lo), REPS_HI: np.asarray(y_hi)}
+    chains = {REPS_LO: chain_lo, REPS_HI: chain_hi}
+    debug = os.environ.get("STORMX_BENCH_DEBUG")
+    slopes = []
+    for s in (2.0, 4.0, 8.0):
+        xs = jnp.asarray(x_np * np.float32(s))  # fresh input bytes
+        # Force the host→device transfer BEFORE timing: the tunnel moves
+        # ~28 MB/s, so an unforced 16.8 MB transfer lands entirely in the
+        # first timed call and corrupts the slope by ~30 µs/apply
+        # (measured; it made a pure v·c chain time NEGATIVE slopes).
+        xs.block_until_ready()
+        wall = {}
+        for reps in (REPS_LO, REPS_HI):
+            t0 = time.perf_counter()
+            ys = chains[reps](xs)
+            ys.block_until_ready()
+            wall[reps] = time.perf_counter() - t0
+            err = float(np.max(np.abs(np.asarray(ys) - s * ref[reps])))
+            assert err <= 1e-4 * s * float(np.max(np.abs(ref[reps])) + 1.0), (
+                f"timed chain(s·x) != s·chain(x) at reps={reps}: {err}"
+            )
+        slope = (wall[REPS_HI] - wall[REPS_LO]) / (REPS_HI - REPS_LO)
+        slopes.append(slope)
+        if debug:
+            print(
+                f"s={s}: T_lo={wall[REPS_LO]:.3f}s T_hi={wall[REPS_HI]:.3f}s "
+                f"slope={slope * 1e6:.1f} µs/apply",
+                file=sys.stderr,
+                flush=True,
+            )
+    # Median across scales: the relay's dispatch noise is heavy-tailed in
+    # BOTH directions (a slow T_lo makes a fake small/negative slope, a slow
+    # T_hi a fake large one) — min() would report the most optimistic
+    # artifact as throughput.
+    dt = float(np.median(slopes))
+    assert dt > 0, f"median slope non-positive ({slopes}); relay noise"
 
     nnz_per_s = nnz / dt
     baseline_nnz_per_s = nnz / base_dt

@@ -1,6 +1,11 @@
 """Finite-volume method schemes (reference: ``source/Storm/Feathers/``)."""
 
 from stormx.fvm.bc import far_field_bc, no_slip_bc, slip_bc
+from stormx.fvm.convdiff import (
+    assemble_convection_diffusion,
+    convection_diffusion_operator,
+    face_normal_velocity,
+)
 from stormx.fvm.convection import linear_upwind_convection, upwind_convection
 from stormx.fvm.divgrad import assemble_divgrad, div_grad, face_flux_coefficients
 from stormx.fvm.field import cell_field, face_field, node_field
@@ -18,6 +23,9 @@ from stormx.fvm.limiter import (
 from stormx.fvm.solver import FvSolver
 
 __all__ = [
+    "assemble_convection_diffusion",
+    "convection_diffusion_operator",
+    "face_normal_velocity",
     "far_field_bc",
     "no_slip_bc",
     "slip_bc",

@@ -54,6 +54,28 @@ class FvSolver:
     def jitted_step(self):
         return jax.jit(self.step)
 
+    def implicit_step(self, u, dt, *, options=None, axis_name=None):
+        """Backward-Euler û = u − dt·f(û) via JFNK — BASELINE config #4's
+        "Newton-JFNK on a nonlinear FVM residual".
+
+        Solves the nonlinear system A(û) = u with A(w) = w + dt·f(w), where
+        f is THIS solver's (1st/2nd-order limited upwind) convection
+        operator — the Jacobian is never formed; J·y comes from the
+        finite-difference directional derivative inside :func:`stormx.
+        solvers.jfnk` (reference ``Solvers/SolverNewton.hpp:101-173``,
+        paired with ``calc_step``, ``SkunkFvSolver.hpp:91-99``).
+
+        Returns the :class:`~stormx.solvers.base.SolveResult`; ``res.x`` is
+        the implicit state û.
+        """
+        from stormx.solvers import SolverOptions, jfnk, make_operator
+
+        opts = options or SolverOptions(
+            num_iterations=30, absolute_tolerance=0.0, relative_tolerance=1e-10
+        )
+        A = make_operator(lambda w: w + dt * self.calc_func(w))
+        return jfnk(A, u, u, options=opts, axis_name=axis_name)
+
     def march(self, u0, dt, num_steps: int):
         """``num_steps`` forward-Euler steps as ONE jitted ``lax.scan``.
 

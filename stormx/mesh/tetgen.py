@@ -85,6 +85,9 @@ def read_tetgen(prefix: str) -> UnstructuredMesh:
         - base
     )
 
-    mesh = build_mesh(positions, cells, boundary_face_labels=boundary_labels)
-    mesh.node_labels = node_labels
-    return mesh
+    return build_mesh(
+        positions,
+        cells,
+        boundary_face_labels=boundary_labels,
+        node_labels=node_labels,
+    )

@@ -385,6 +385,7 @@ def build_mesh(
     *,
     boundary_face_labels: dict | None = None,
     cell_shape: int | None = None,
+    node_labels: np.ndarray | None = None,
 ) -> UnstructuredMesh:
     """Derive faces, connectivity, labels, geometry from cells.
 
@@ -406,6 +407,7 @@ def build_mesh(
         node_positions,
         [(cell_nodes, cell_shape)],
         boundary_face_labels=boundary_face_labels,
+        node_labels=node_labels,
     )
 
 
@@ -414,6 +416,7 @@ def build_hybrid_mesh(
     groups: list,
     *,
     boundary_face_labels: dict | None = None,
+    node_labels: np.ndarray | None = None,
 ) -> UnstructuredMesh:
     """Build a (possibly hybrid) mesh from per-shape cell groups.
 
@@ -585,7 +588,7 @@ def build_hybrid_mesh(
         face_nodes=face_nodes,
         face_cells=face_cells,
         face_labels=face_labels,
-        node_labels=None,
+        node_labels=None if node_labels is None else np.asarray(node_labels),
         cell_volumes=cell_volumes,
         cell_centers=cell_centers,
         face_areas=face_areas,

@@ -59,8 +59,12 @@ class PartitionedBSR:
             shared = lax.all_gather(contrib, axis_name)  # (P, s_max, b)
             x_ext = jnp.concatenate([x_loc, shared.reshape(-1, b)])
             g = x_ext[cols_loc]  # (nb_pad, K, b)
+            # HIGHEST: default MXU precision truncates f32 → bf16 (CLAUDE.md);
+            # bandwidth-bound, so full precision is ~free.
             return jnp.einsum(
-                "rkij,rkj->ri", blocks_loc, g, preferred_element_type=x_loc.dtype
+                "rkij,rkj->ri", blocks_loc, g,
+                preferred_element_type=x_loc.dtype,
+                precision=lax.Precision.HIGHEST,
             )
 
         return matvec
@@ -211,7 +215,10 @@ def sharded_bsr_solve(
                 from stormx.solvers.preconditioner import FunctionPreconditioner
 
                 pre = FunctionPreconditioner(
-                    lambda r, dinv=dinv: jnp.einsum("rij,rj->ri", dinv, r)
+                    lambda r, dinv=dinv: jnp.einsum(
+                        "rij,rj->ri", dinv, r,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                 )
         res = solver_fn(
             op, b_loc, x0_loc, precond=pre, options=opts, axis_name=AXIS,
@@ -225,14 +232,14 @@ def sharded_bsr_solve(
         x=P(AXIS), converged=P(), num_iterations=P(),
         absolute_error=P(), relative_error=P(), history=P(),
     )
+    args = (bp, xp0, pb.blocks, pb.cols, pb.send_slots) + tuple(
+        extras[k] for k in extra_keys
+    )
     sharded = jax.shard_map(
         local_solve,
         mesh=mesh,
-        in_specs=tuple([P(AXIS)] * (5 + len(extras))),
+        in_specs=tuple([P(AXIS)] * len(args)),
         out_specs=out_specs,
-    )
-    args = (bp, xp0, pb.blocks, pb.cols, pb.send_slots) + tuple(
-        extras[k] for k in extra_keys
     )
     res = jax.jit(sharded)(*args)
     return res._replace(x=unpartition_bsr_vector(pb, res.x))

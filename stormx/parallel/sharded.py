@@ -43,18 +43,17 @@ def sharded_matvec(pop: PartitionedOperator, mesh: Mesh, *, overlap: bool = True
         # shard_map blocks keep a leading axis of length 1 — strip/restore it.
         return local(x[0], *(o[0] for o in ops))[None]
 
+    op_args = (
+        pop.data, pop.cols, pop.send_slots,
+        pop.bnd_idx, pop.bnd_data, pop.bnd_cols,
+    )
     sharded = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=tuple([P(AXIS)] * 7),
+        in_specs=tuple([P(AXIS)] * (1 + len(op_args))),
         out_specs=P(AXIS),
     )
-    return jax.jit(
-        lambda x: sharded(
-            x, pop.data, pop.cols, pop.send_slots,
-            pop.bnd_idx, pop.bnd_data, pop.bnd_cols,
-        )
-    )
+    return jax.jit(lambda x: sharded(x, *op_args))
 
 
 def sharded_solve(
@@ -201,17 +200,16 @@ def sharded_solve(
         relative_error=P(),
         history=P(),
     )
-    n_args = 8 + len(extras)
-    sharded = jax.shard_map(
-        local_solve,
-        mesh=mesh,
-        in_specs=tuple([P(AXIS)] * n_args),
-        out_specs=out_specs,
-    )
     args = (
         bp, xp0, pop.data, pop.cols, pop.send_slots,
         pop.bnd_idx, pop.bnd_data, pop.bnd_cols,
     ) + tuple(extras[k] for k in extra_keys)
+    sharded = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=tuple([P(AXIS)] * len(args)),
+        out_specs=out_specs,
+    )
     res = jax.jit(sharded)(*args)
     x_global = unpartition_vector(pop, res.x)
     return res._replace(x=x_global)

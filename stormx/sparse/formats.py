@@ -214,11 +214,15 @@ class BSR:
         n_brows = self.blocks.shape[0]
         xb = x.reshape(-1, b)  # (n_bcols, b)
         gathered = xb[self.cols]  # (n_brows, K, b)
+        # Precision.HIGHEST: default MXU precision truncates f32 inputs to
+        # bf16 (~3e-2 error, measured — CLAUDE.md); the contraction is
+        # bandwidth-bound so full precision is ~free.
         out = jnp.einsum(
             "rkij,rkj->ri",
             self.blocks,
             gathered,
             preferred_element_type=x.dtype,
+            precision=lax.Precision.HIGHEST,
         )
         return out.reshape(n_brows * b)
 

@@ -39,6 +39,7 @@ reference loops over serially; this module is its TPU-native hot form.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import jax
@@ -130,16 +131,30 @@ def _register_sliced_ell():
 _register_sliced_ell()
 
 
-def sell_from_ell(ell, *, block_rows: int = 128, mode: str = "dense") -> SlicedELL:
+def sell_from_ell(
+    ell,
+    *,
+    block_rows: int = 128,
+    mode: str = "dense",
+    max_dense_bytes: int = 2**31,
+) -> SlicedELL:
     """Build from an ELL operator (rows assumed already well-ordered, e.g.
-    RCM — use :func:`sell_from_csr` to reorder).  Raises if the band is so
-    wide that windows would exceed ~4·n (use the ELL gather path then)."""
+    RCM — use :func:`sell_from_csr` to reorder).
+
+    Raises ``ValueError`` when the band is so wide that the format stops
+    making sense: the window would cover (nearly) the whole row (``C ≥ n``
+    after rounding — the "windows" are just dense rows then), or, in dense
+    mode, the precomputed ``(nb, R, C)`` blocks would exceed
+    ``max_dense_bytes`` (default 2 GiB).  ``auto_operator`` catches this and
+    falls back to onehot mode / the ELL gather path.
+    """
     return _build(
-        np.asarray(ell.data), np.asarray(ell.cols), ell.shape, block_rows, mode
+        np.asarray(ell.data), np.asarray(ell.cols), ell.shape, block_rows, mode,
+        max_dense_bytes=max_dense_bytes,
     )
 
 
-def _build(data, cols, shape, R, mode):
+def _build(data, cols, shape, R, mode, *, max_dense_bytes: int = 2**31):
     n, K = data.shape
     nb = -(-n // R)
     pad = nb * R - n
@@ -157,7 +172,24 @@ def _build(data, cols, shape, R, mode):
     b_lo = int(max(-(d[live].min() if live.any() else 0), 0))
     b_hi = int(max(d[live].max() if live.any() else 0, 0))
     pad_lo = b_lo
-    C = _round_up(pad_lo + R + b_hi, max(R, 128))
+    # Uniform-stride window extraction slices x_pad reshaped to (-1, R), so C
+    # must be a multiple of R as well as of the 128-lane width — round to
+    # lcm(R, 128) so the C//R shift math is well-defined for every R.
+    C = _round_up(pad_lo + R + b_hi, math.lcm(R, 128))
+    # Wide-band guard (documented in sell_from_ell): windows that span the
+    # whole vector mean RCM failed to compress the band — the format degrades
+    # to a dense matrix.  Refuse rather than silently build O(n²) state.
+    if C >= shape[0] + R and shape[0] > math.lcm(R, 128):
+        raise ValueError(
+            f"SlicedELL window C={C} covers the whole vector (n={shape[0]}, "
+            f"bandwidth {max(b_lo, b_hi)}); use the ELL gather path"
+        )
+    if mode == "dense" and nb * R * C * data.dtype.itemsize > max_dense_bytes:
+        raise ValueError(
+            f"SlicedELL dense blocks would need {nb * R * C * data.dtype.itemsize}"
+            f" bytes (> max_dense_bytes={max_dense_bytes}); band too wide after"
+            " reordering — use mode='onehot' or the ELL gather path"
+        )
     # Window of block b covers cols [R·b − pad_lo, R·b − pad_lo + C).
     base = (np.arange(nb) * R - pad_lo)[:, None, None]
     local = np.where(live, cb - base, 0).astype(np.int64)
@@ -237,6 +269,12 @@ def auto_operator(
     windows — 6.6× the ELL gather's 0.14); the ELL ``x[cols]`` gather is
     the correctness oracle only.  This helper applies that policy: RCM,
     then DIA iff ≤ ``max_diags`` distinct offsets survive, else SlicedELL.
+
+    Wide-band degradation (the documented ``sell_from_ell`` guard): when the
+    post-RCM band is too wide for dense windows (O(n²)-ish storage), fall
+    back to ``mode="onehot"`` (O(nnz) storage, ~0.63 Gnnz/s measured), and
+    when even the windows span the whole vector, to the plain ELL gather
+    oracle (~0.14 Gnnz/s) — slow but never pathological in memory.
     """
     from stormx.parallel import rcm_order
     from stormx.sparse.formats import CSR, dia_from_csr
@@ -265,5 +303,20 @@ def auto_operator(
     )
     if n_offsets <= max_diags:
         return dia_from_csr(pcsr, max_diags=max_diags), perm
-    sell, _ = sell_from_csr(pcsr, block_rows=block_rows, mode=mode, reorder=False)
-    return sell, perm
+    try:
+        sell, _ = sell_from_csr(pcsr, block_rows=block_rows, mode=mode, reorder=False)
+        return sell, perm
+    except ValueError:
+        pass
+    if mode == "dense":
+        # Dense blocks too large — retry with O(nnz)-storage onehot windows.
+        try:
+            sell, _ = sell_from_csr(
+                pcsr, block_rows=block_rows, mode="onehot", reorder=False
+            )
+            return sell, perm
+        except ValueError:
+            pass
+    from stormx.sparse.formats import ell_from_csr
+
+    return ell_from_csr(pcsr), perm

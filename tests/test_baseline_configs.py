@@ -1,0 +1,251 @@
+"""BASELINE configs #2 and #4 exercised on REAL mesh operators.
+
+Config #2 — "BiCGStab + Jacobi preconditioner on nonsymmetric
+convection-diffusion CSR operator": the operator is assembled from the
+repo's own FVM ops (upwind convection ≙ ``ConvectionScheme.hpp:57-109`` +
+two-point-flux diffusion ≙ ``Playground.cpp:116-131``) on unstructured
+triangle meshes, cross-checked against the matrix-free composition, solved
+serial and partitioned (P ∈ {1, 8}) with invariant histories.
+
+Config #4 — "Newton-JFNK on a nonlinear FVM residual (matrix-free SpMV via
+finite-difference directional derivative)": an implicit backward-Euler step
+of the 2nd-order limited-upwind Euler convection operator
+(``FvSolver.implicit_step``; residual A(û) = û + dt·f(û) = uⁿ), converged
+through the reference's JFNK (``Solvers/SolverNewton.hpp:101-173``).
+
+The ``slow`` variants run both at the reference's 79,672-cell step-mesh
+scale.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stormx.fvm import (
+    assemble_convection_diffusion,
+    convection_diffusion_operator,
+    face_normal_velocity,
+)
+from stormx.fvm.solver import FvSolver
+from stormx.fvm.bc import slip_bc
+from stormx.fvm.hydro import state_from_prim
+from stormx.mesh import read_tetgen
+from stormx.mesh.structured import structured_tri_rect
+from stormx.parallel import make_device_mesh, partition_csr, sharded_solve
+from stormx.precond import JacobiPreconditioner
+from stormx.solvers import SolverOptions, bicgstab, make_operator
+
+STEP_PREFIX = "/root/reference/tests/_data/mesh/step.1."
+
+EPS_DIFF = 0.05  # diffusivity: convection-dominated but not degenerate
+
+
+def rotating_velocity(r):
+    """Solid-body-rotation-ish velocity field about the domain center."""
+    c = r - 0.5
+    return np.stack([-c[:, 1] - 0.4, c[:, 0] + 0.8], axis=1)
+
+
+def _convdiff_problem(mesh):
+    ell = assemble_convection_diffusion(mesh, rotating_velocity, EPS_DIFF)
+    c = np.asarray(mesh.cell_centers)
+    rhs = np.sin(2 * np.pi * c[:, 0]) * np.cos(np.pi * c[:, 1]) + 0.1
+    return ell, rhs
+
+
+class TestConfig2ConvectionDiffusion:
+    def test_assembly_matches_matrix_free_fvm_ops(self):
+        # The assembled matrix must BE the repo's own FVM operator:
+        # upwind_convection(scalar flux) + div_grad diffusion.
+        mesh = structured_tri_rect(12, 9)
+        ell, _ = _convdiff_problem(mesh)
+        dmesh = mesh.device_arrays()
+        vn = face_normal_velocity(mesh, rotating_velocity)
+        apply_fn = convection_diffusion_operator(dmesh, vn, EPS_DIFF)
+        x = np.random.default_rng(0).standard_normal(mesh.num_cells)
+        y_mat = np.asarray(ell.matvec(jnp.asarray(x)))
+        y_free = np.asarray(apply_fn(jnp.asarray(x)))
+        np.testing.assert_allclose(y_mat, y_free, atol=1e-11)
+
+    def test_operator_is_genuinely_nonsymmetric(self):
+        mesh = structured_tri_rect(12, 9)
+        ell, _ = _convdiff_problem(mesh)
+        a = np.zeros((mesh.num_cells, mesh.num_cells))
+        cols = np.asarray(ell.cols)
+        data = np.asarray(ell.data)
+        rows = np.broadcast_to(
+            np.arange(mesh.num_cells)[:, None], cols.shape
+        )
+        np.add.at(a, (rows.ravel(), cols.ravel()), data.ravel())
+        asym = np.abs(a - a.T).max()
+        assert asym > 1e-3 * np.abs(a).max()
+
+    def test_bicgstab_jacobi_converges_mesh_scale(self):
+        # 3200-cell unstructured-ish triangle operator.
+        mesh = structured_tri_rect(40, 40)
+        ell, rhs = _convdiff_problem(mesh)
+        opts = SolverOptions(
+            num_iterations=2000, absolute_tolerance=0.0, relative_tolerance=1e-9
+        )
+        res = bicgstab(
+            make_operator(ell.matvec),
+            jnp.asarray(rhs),
+            jnp.zeros(mesh.num_cells),
+            precond=JacobiPreconditioner(diag=ell.diagonal()),
+            options=opts,
+        )
+        assert bool(res.converged)
+        r = np.asarray(ell.matvec(res.x)) - rhs
+        assert np.linalg.norm(r) <= 2e-9 * np.linalg.norm(rhs)
+
+    def test_partition_invariant_histories(self):
+        # The partition-invariance oracle: the SAME sharded solve at P=1 and
+        # P=8 must produce identical fp64 histories (matvec is bit-exact;
+        # dots are local-sum + psum).  The plain serial solve sums dots in
+        # the unpermuted cell order (partition_csr RCM-reorders), so it may
+        # legitimately stop ±1 iteration away — compare it on the solution.
+        mesh = structured_tri_rect(24, 18)
+        ell, rhs = _convdiff_problem(mesh)
+        opts = SolverOptions(
+            num_iterations=2000, absolute_tolerance=0.0, relative_tolerance=1e-9
+        )
+        diag = np.asarray(ell.diagonal())
+        serial = bicgstab(
+            make_operator(ell.matvec),
+            jnp.asarray(rhs),
+            jnp.zeros(mesh.num_cells),
+            precond=JacobiPreconditioner(diag=jnp.asarray(diag)),
+            options=opts,
+        )
+        results = {}
+        for parts in (1, 8):
+            results[parts] = sharded_solve(
+                partition_csr(ell.to_csr(), parts),
+                rhs,
+                mesh=make_device_mesh(parts),
+                method="bicgstab",
+                precond_diag=diag,
+                options=opts,
+            )
+        assert bool(serial.converged)
+        assert all(bool(r.converged) for r in results.values())
+        # Partition invariance for BiCGStab: the psum changes dot-product
+        # SUMMATION GROUPING (~1e-15 relative per iteration), and BiCGStab's
+        # irregular recurrence amplifies that exponentially — measured on
+        # this operator: 6e-15 @ iter 5, 4e-11 @ 20, O(1) by 95 (CG at the
+        # same perturbation stays ~1e-13 for hundreds — the CLAUDE.md
+        # invariant).  The honest oracle: tight early histories, matching
+        # stop behavior, and BOTH solutions meeting the TRUE residual tol.
+        k1, k8 = int(results[1].num_iterations), int(results[8].num_iterations)
+        assert abs(k1 - k8) <= 2
+        h1 = np.asarray(results[1].history)
+        h8 = np.asarray(results[8].history)
+        rel = np.abs(h8[:20] - h1[:20]) / h1[:20]
+        assert np.nanmax(rel) < 1e-9
+        bnorm = np.linalg.norm(rhs)
+        for r in (serial, *results.values()):
+            true_r = np.asarray(ell.matvec(jnp.asarray(np.asarray(r.x)))) - rhs
+            assert np.linalg.norm(true_r) <= 5e-9 * bnorm
+        assert abs(int(serial.num_iterations) - k1) <= 2
+
+    @pytest.mark.slow
+    def test_step_mesh_reference_scale(self):
+        # The full 79,672-cell step operator, serial vs P=8.
+        mesh = read_tetgen(STEP_PREFIX)
+        ell, rhs = _convdiff_problem(mesh)
+        opts = SolverOptions(
+            num_iterations=4000, absolute_tolerance=0.0, relative_tolerance=1e-8
+        )
+        diag = np.asarray(ell.diagonal())
+        serial = bicgstab(
+            make_operator(ell.matvec),
+            jnp.asarray(rhs),
+            jnp.zeros(mesh.num_cells),
+            precond=JacobiPreconditioner(diag=jnp.asarray(diag)),
+            options=opts,
+        )
+        assert bool(serial.converged)
+        dist = sharded_solve(
+            partition_csr(ell.to_csr(), 8),
+            rhs,
+            mesh=make_device_mesh(8),
+            method="bicgstab",
+            precond_diag=diag,
+            options=opts,
+        )
+        assert bool(dist.converged)
+        np.testing.assert_allclose(
+            np.asarray(dist.x), np.asarray(serial.x), atol=1e-9
+        )
+        r = np.asarray(ell.matvec(jnp.asarray(np.asarray(dist.x)))) - rhs
+        assert np.linalg.norm(r) <= 2e-8 * np.linalg.norm(rhs)
+
+
+def _smooth_euler_state(mesh):
+    """Non-uniform smooth conserved state (so the convection residual is a
+    genuinely nonlinear function of û)."""
+    c = np.asarray(mesh.cell_centers)
+    rho = 1.0 + 0.2 * np.sin(2 * np.pi * c[:, 0]) * np.sin(np.pi * c[:, 1])
+    p = 1.0 + 0.1 * np.cos(np.pi * c[:, 0])
+    vx = 0.5 + 0.1 * np.sin(np.pi * c[:, 1])
+    vy = 0.05 * np.cos(2 * np.pi * c[:, 0])
+    prim = np.stack([rho, p, vx, vy, np.zeros_like(vx)], axis=1)
+    n = np.tile(np.asarray([1.0, 0.0, 0.0]), (mesh.num_cells, 1))
+    return state_from_prim(jnp.asarray(n), jnp.asarray(prim)).make_cons()
+
+
+class TestConfig4JfnkImplicitFvm:
+    def _run(self, mesh, dt):
+        dmesh = mesh.device_arrays()
+        solver = FvSolver(dmesh, order=2, bcs={1: slip_bc})
+        u0 = _smooth_euler_state(mesh)
+        res = solver.implicit_step(u0, dt)
+        return solver, u0, res
+
+    def test_jfnk_converges_on_implicit_second_order_step(self):
+        mesh = structured_tri_rect(24, 24)  # 1,152 cells
+        dt = 2e-3
+        solver, u0, res = self._run(mesh, dt)
+        assert bool(res.converged)
+        u1 = res.x
+        # TRUE nonlinear residual of the implicit equation.
+        F = np.asarray(u1 + dt * solver.calc_func(u1) - u0)
+        assert np.linalg.norm(F) <= 1e-9 * np.linalg.norm(np.asarray(u0))
+        # The implicit step must be consistent: within O(dt²) of the
+        # explicit step, but NOT equal to it (the residual is nonlinear).
+        u_exp = np.asarray(solver.step(u0, dt))
+        du = np.linalg.norm(u_exp - np.asarray(u0))
+        d_imp_exp = np.linalg.norm(np.asarray(u1) - u_exp)
+        assert 0 < d_imp_exp < 0.5 * du
+
+    def test_jfnk_inner_is_matrix_free(self):
+        # The FD directional derivative never materializes a Jacobian: the
+        # operator only ever sees vectors.  Drive the same step through an
+        # operator wrapper that counts applications and rejects matrices.
+        calls = {"n": 0}
+        mesh = structured_tri_rect(10, 10)
+        dmesh = mesh.device_arrays()
+        solver = FvSolver(dmesh, order=2, bcs={1: slip_bc})
+        orig = solver.calc_func
+
+        def counting(u):
+            calls["n"] += 1
+            assert u.ndim == 2  # a state batch, never an (n, n) matrix
+            return orig(u)
+
+        solver.calc_func = counting
+        u0 = _smooth_euler_state(mesh)
+        res = solver.implicit_step(u0, 1e-3)
+        assert bool(res.converged)
+        assert calls["n"] > 0
+
+    @pytest.mark.slow
+    def test_jfnk_reference_scale_step_mesh(self):
+        # Config #4 at the reference's own 79,672-cell scale.
+        mesh = read_tetgen(STEP_PREFIX)
+        dt = 5e-4
+        solver, u0, res = self._run(mesh, dt)
+        assert bool(res.converged)
+        u1 = res.x
+        F = np.asarray(u1 + dt * solver.calc_func(u1) - u0)
+        assert np.linalg.norm(F) <= 1e-8 * np.linalg.norm(np.asarray(u0))

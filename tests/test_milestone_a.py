@@ -64,6 +64,7 @@ def serial_solution(step_problem):
     return res
 
 
+@pytest.mark.slow  # reference-scale (79,672-cell step mesh); --runslow
 class TestStepMeshPoisson:
     def test_serial_cg_converges_at_reference_scale(self, step_problem, serial_solution):
         mesh, L, diag, rhs = step_problem

@@ -56,7 +56,10 @@ class TestProjection:
         d1 = np.abs(np.asarray(cell_divergence(ns.dmesh, vel1)))
         assert np.median(d1) < 0.8 * np.median(d0)
 
-    @pytest.mark.parametrize("method", ["idrs", "bicgstab_l"])
+    @pytest.mark.parametrize(
+        "method",
+        [pytest.param("idrs", marks=pytest.mark.slow), "bicgstab_l"],
+    )
     def test_partitioned_pressure_solve(self, mesh, method):
         # The BASELINE config: distributed pressure Poisson via IDR(s) and
         # BiCGStab(l); both must converge and agree with the serial solve.
@@ -86,6 +89,66 @@ class TestProjection:
         np.testing.assert_allclose(
             sols["idrs"], sols["bicgstab_l"], atol=1e-6
         )
+
+    def test_fully_sharded_step_matches_serial(self, mesh):
+        # VERDICT r2 #4: the WHOLE projection step (predictor + divergence +
+        # pressure solve + corrector) as one shard_map program.  Predictor,
+        # divergence, and corrector are bit-exact vs serial; only the
+        # pressure Krylov dots regroup (local-sum + psum), so agreement is
+        # solver-tolerance-level.
+        from stormx.parallel.ns import ShardedNsProjection
+
+        serial = NsProjection(mesh, method="bicgstab_l",
+                              solver_kw={"options": OPTS})
+        vel0 = taylor_green(serial.dmesh)
+        v_s, p_s, r_s, _ = serial.step(vel0, dt=1e-2)
+        assert bool(r_s.converged)
+        for parts in (1, 4, 8):
+            dist = ShardedNsProjection(
+                mesh, num_parts=parts, method="bicgstab_l",
+                solver_kw={"options": OPTS},
+            )
+            v_d, p_d, r_d = dist.step(vel0, dt=1e-2)
+            assert bool(r_d.converged), parts
+            # p agrees at solver tolerance (the partitioned ELL sums rows in
+            # a different order, so the Krylov trajectories differ at
+            # rounding level); the LSQ corrector amplifies p noise by ~1/h.
+            np.testing.assert_allclose(
+                np.asarray(p_d), np.asarray(p_s), atol=1e-7, err_msg=f"P={parts}"
+            )
+            np.testing.assert_allclose(
+                np.asarray(v_d), np.asarray(v_s), atol=5e-6, err_msg=f"P={parts}"
+            )
+
+    def test_fully_sharded_idrs_partition_invariant(self, mesh):
+        # IDR(s) with the GLOBAL-layout shadow space at P=1 vs P=8.  Unlike
+        # sharded_solve (fixed b ⇒ bit-identical histories), the in-step
+        # mean reductions (rhs compatibility shift, p mean-shift) regroup
+        # their summations with P, so the Poisson RHS itself differs at
+        # ~1 ulp and IDR amplifies rounding like BiCGStab: the oracle is a
+        # tight early history, matching stop behavior, and solver-tolerance
+        # solutions.
+        from stormx.parallel.ns import ShardedNsProjection
+
+        vel0 = None
+        out = {}
+        for parts in (1, 8):
+            dist = ShardedNsProjection(
+                mesh, num_parts=parts, method="idrs",
+                solver_kw={"options": OPTS},
+            )
+            if vel0 is None:
+                vel0 = taylor_green(dist.dmesh)
+            v_d, p_d, r_d = dist.step(vel0, dt=1e-2)
+            assert bool(r_d.converged), parts
+            out[parts] = (np.asarray(v_d), np.asarray(p_d),
+                          np.asarray(r_d.history), int(r_d.num_iterations))
+        assert abs(out[1][3] - out[8][3]) <= 2
+        h1, h8 = out[1][2], out[8][2]
+        rel = np.abs(h8[:10] - h1[:10]) / h1[:10]
+        assert np.nanmax(rel) < 1e-9
+        np.testing.assert_allclose(out[8][1], out[1][1], atol=1e-7)
+        np.testing.assert_allclose(out[8][0], out[1][0], atol=5e-6)
 
     def test_distributed_step_jits(self, mesh):
         """Regression: the num_parts > 1 pressure solve called np.asarray on

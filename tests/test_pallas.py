@@ -84,6 +84,7 @@ class TestCgStep:
         np.testing.assert_allclose(np.asarray(r2), r_ref, atol=1e-5)
         assert abs(float(rr) - float(r_ref @ r_ref)) < 1e-2 * float(r_ref @ r_ref)
 
+    @pytest.mark.slow
     def test_cg_iterations_reduce_residual(self):
         # A few fused CG steps on an SPD banded operator must reproduce the
         # textbook recurrence (oracle: plain numpy CG on the dense matrix).

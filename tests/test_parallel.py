@@ -332,6 +332,7 @@ class TestShardedPreconditioner:
         b = np.random.default_rng(5).standard_normal(n)
         return csr, b
 
+    @pytest.mark.slow
     def test_chebyshev_partition_invariant_and_faster(self):
         from stormx.precond import ChebyshevPreconditioner
 
@@ -378,6 +379,7 @@ class TestShardedPreconditioner:
         r = np.asarray(csr.matvec(res.x)) - b
         assert np.abs(r).max() < 1e-7
 
+    @pytest.mark.slow
     def test_ras_ilu_beats_jacobi(self):
         """RAS block-ILU(0)/SGS (BASELINE north star 'ILU-class later'):
         distributed BiCGStab with per-shard ILU(0) must converge in
@@ -480,6 +482,7 @@ class TestShardedPreconditioner:
 class TestShardedFvMarch:
     """Distributed explicit Euler march == serial march (fp64 oracle)."""
 
+    @pytest.mark.slow
     def test_matches_serial_trajectory(self):
         import __graft_entry__ as g
         from stormx.apps.euler import initial_state

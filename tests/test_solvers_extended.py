@@ -54,6 +54,7 @@ def hard_nonsym():
 
 
 class TestLgmres:
+    @pytest.mark.slow
     def test_beats_equal_storage_gmres_on_convdiff(self):
         # Baker et al.'s headline comparison is at equal storage:
         # LGMRES(m, k) vs GMRES(m+k).
