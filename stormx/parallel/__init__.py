@@ -8,6 +8,7 @@ halo, and whole Krylov solves running inside a single ``shard_map`` region
 with ``psum`` reductions riding ICI.
 """
 
+from stormx.parallel.amg import DistributedAmg
 from stormx.parallel.banded import PartitionedDIA, partition_dia, sharded_dia_solve
 from stormx.parallel.partition import (
     PartitionedOperator,
@@ -34,6 +35,7 @@ from stormx.parallel.sliced import (
 )
 
 __all__ = [
+    "DistributedAmg",
     "PartitionedBSR",
     "partition_bsr",
     "partition_bsr_vector",

@@ -67,6 +67,7 @@ def sharded_solve(
     precond_diag=None,
     precond=None,
     ras: str | None = None,
+    amg=None,
     overlap: bool = True,
     **solver_kw,
 ):
@@ -92,6 +93,11 @@ def sharded_solve(
       handled here.  GLOBAL host-factorized preconditioners (ILU/IC/SGS/AMG
       instances from :mod:`stormx.precond`) hold global index tables and
       are NOT shard-safe — use ``ras`` instead.
+    * ``amg`` — a :class:`stormx.parallel.amg.DistributedAmg` built for
+      THIS ``pop``: shard-local Jacobi smoothing through the halo-exchanging
+      operator, psum-restricted coarse correction on a replicated Galerkin
+      hierarchy.  Partition-invariant to fp64 rounding and O(n) — the
+      multilevel option RAS cannot offer.
     * ``ras`` — ``"ilu0"`` or ``"sgs"``: restricted additive Schwarz — each
       partition's OWNED diagonal block is host-factorized and applied
       locally (:mod:`stormx.parallel.ras`).  Unlike every other option the
@@ -117,11 +123,15 @@ def sharded_solve(
     if precond_diag is not None:
         extras["diag"] = partition_vector(pop, np.asarray(precond_diag))
     if ras is not None:
-        if precond_diag is not None or precond is not None:
-            raise ValueError("ras=... excludes precond/precond_diag")
+        if precond_diag is not None or precond is not None or amg is not None:
+            raise ValueError("ras=... excludes precond/precond_diag/amg")
         from stormx.parallel.ras import build_ras_factors
 
         extras.update(build_ras_factors(pop, kind=ras))
+    if amg is not None:
+        if precond_diag is not None or precond is not None:
+            raise ValueError("amg=... excludes precond/precond_diag")
+        extras.update(amg.extras())
     if method.lower() == "idrs" and "shadow" not in solver_kw:
         # The shadow basis must be drawn in GLOBAL layout: device-local
         # draws with a replicated key tile the same values on every device,
@@ -138,6 +148,34 @@ def sharded_solve(
         )  # (P, s-1, n_pad)
     extra_keys = tuple(extras)
 
+    # Program cache: repeated solves with the same (pop, mesh, method,
+    # options, preconditioning setup) — the shape of every time-stepping
+    # app — must not re-trace/re-jit each call.  Arrays travel as call
+    # arguments; everything baked into the trace is part of the key.
+    kw_key = tuple(
+        sorted(
+            (k, v if isinstance(v, (int, float, str, bool, type(None))) else id(v))
+            for k, v in solver_kw.items()
+        )
+    )
+    cache_key = (
+        mesh, method.lower(), opts, extra_keys, overlap, ras, kw_key,
+        None if precond is None else id(precond),
+        None if amg is None else id(amg),
+    )
+    cache = pop.__dict__.get("_solve_cache")
+    if cache is None:
+        cache = {}
+        object.__setattr__(pop, "_solve_cache", cache)
+    cached = cache.get(cache_key)
+    if cached is not None:
+        res = cached(
+            bp, xp0, pop.data, pop.cols, pop.send_slots,
+            pop.bnd_idx, pop.bnd_data, pop.bnd_cols,
+            *(extras[k] for k in extra_keys),
+        )
+        return res._replace(x=unpartition_vector(pop, res.x))
+
     def local_solve(b_loc, x0_loc, data, cols, send, bidx, bdata, bcols, *extra_vals):
         b_loc, x0_loc = b_loc[0], x0_loc[0]
         data, cols, send = data[0], cols[0], send[0]
@@ -152,6 +190,7 @@ def sharded_solve(
             # mutate the user's instance.
             pre = pre.with_axis_name(AXIS)
         ras_vals = {}
+        amg_vals = {}
         for key, val in zip(extra_keys, extra_vals):
             if key == "diag":
                 from stormx.precond import JacobiPreconditioner
@@ -159,8 +198,18 @@ def sharded_solve(
                 pre = JacobiPreconditioner(diag=val[0])
             elif key.startswith("ras_"):
                 ras_vals[key] = val[0]
+            elif key.startswith("amg_"):
+                amg_vals[key] = val[0]
             else:
                 kw[key] = val[0]
+        if amg_vals:
+            from stormx.solvers.preconditioner import FunctionPreconditioner
+
+            pre = FunctionPreconditioner(
+                amg.make_apply(
+                    op.mul, amg_vals["amg_agg"], amg_vals["amg_idiag"], AXIS
+                )
+            )
         if ras_vals:
             from stormx.precond.triangular import TriangularFactor, tri_solve
             from stormx.solvers.preconditioner import FunctionPreconditioner
@@ -210,6 +259,8 @@ def sharded_solve(
         in_specs=tuple([P(AXIS)] * len(args)),
         out_specs=out_specs,
     )
-    res = jax.jit(sharded)(*args)
+    jitted = jax.jit(sharded)
+    cache[cache_key] = jitted
+    res = jitted(*args)
     x_global = unpartition_vector(pop, res.x)
     return res._replace(x=x_global)

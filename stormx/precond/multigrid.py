@@ -29,48 +29,74 @@ __all__ = ["AmgPreconditioner", "aggregate"]
 
 
 def aggregate(row_ptr, cols, vals, n) -> np.ndarray:
-    """Greedy root-based aggregation over the strength graph.
+    """Root-based aggregation over the strength graph — fully vectorized.
 
     Strength: |a_ij| ≥ θ·max_k |a_ik| with θ=0.25 (classic SA default).
-    Unaggregated leftovers join the strongest neighboring aggregate.
+    Roots are a maximal independent set found in deterministic MIS rounds
+    (Bell–Dalton–Olson-style fine-grained aggregation): each round, every
+    free node whose hashed priority beats all free strong neighbors becomes
+    a root and claims its free neighbors; expected O(log n) rounds.
+    Leftovers join the highest-priority neighboring aggregate, isolated
+    nodes become singletons.  Deterministic (fixed priority permutation);
+    setup is O(nnz) NumPy per round — the 4.2M-row headline operator
+    aggregates in seconds, not hours (the r2 per-row Python loop did not).
     Returns aggregate ids (n,).
     """
     theta = 0.25
-    agg = np.full(n, -1, dtype=np.int64)
-    # Strength mask per row.
-    strong_cols = []
-    for i in range(n):
-        lo, hi = row_ptr[i], row_ptr[i + 1]
-        c, v = cols[lo:hi], np.abs(vals[lo:hi])
-        off = c != i
-        c, v = c[off], v[off]
-        if len(v):
-            keep = v >= theta * v.max()
-            strong_cols.append(c[keep])
-        else:
-            strong_cols.append(c)
-    next_agg = 0
-    # Pass 1: roots — a node all of whose strong neighbors are free.
-    for i in range(n):
-        if agg[i] != -1:
-            continue
-        nbrs = strong_cols[i]
-        if (agg[nbrs] == -1).all():
-            agg[i] = next_agg
-            agg[nbrs] = next_agg
-            next_agg += 1
-    # Pass 2: attach leftovers to any aggregated strong neighbor.
-    for i in range(n):
-        if agg[i] != -1:
-            continue
-        nbrs = strong_cols[i]
-        done = nbrs[agg[nbrs] != -1]
-        if len(done):
-            agg[i] = agg[done[0]]
-        else:
-            agg[i] = next_agg
-            next_agg += 1
-    return agg
+    row_ptr = np.asarray(row_ptr)
+    cols = np.asarray(cols)
+    av = np.abs(np.asarray(vals, dtype=np.float64))
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(row_ptr))
+    off = cols != rows
+    rowmax = np.zeros(n)
+    np.maximum.at(rowmax, rows[off], av[off])
+    strong = off & (av >= theta * rowmax[rows])
+    sr, sc = rows[strong], cols[strong]
+
+    # Deterministic priority permutation (same for every call).
+    pri = np.random.default_rng(0xA661).permutation(n).astype(np.int64)
+
+    FREE, ROOT, COVERED = 0, 1, 2
+    state = np.zeros(n, dtype=np.int8)
+    root_of = np.full(n, -1, dtype=np.int64)
+    for _ in range(64):
+        free = state == FREE
+        if not free.any():
+            break
+        e = free[sr] & free[sc]  # edges between free nodes
+        nbr_max = np.full(n, -1, dtype=np.int64)
+        np.maximum.at(nbr_max, sr[e], pri[sc[e]])
+        new_roots = free & (pri > nbr_max)
+        if not new_roots.any():
+            break  # only isolated-in-free-graph nodes remain
+        state[new_roots] = ROOT
+        root_of[new_roots] = np.nonzero(new_roots)[0]
+        # Free neighbors of new roots get claimed by the max-pri root.
+        claim = new_roots[sr] & (state[sc] == FREE)
+        if claim.any():
+            best = np.full(n, -1, dtype=np.int64)
+            np.maximum.at(best, sc[claim], pri[sr[claim]])
+            inv_pri = np.empty(n, dtype=np.int64)
+            inv_pri[pri] = np.arange(n)
+            claimed = best >= 0
+            state[claimed] = COVERED
+            root_of[claimed] = inv_pri[best[claimed]]
+    # Leftovers: attach to the max-pri aggregated strong neighbor, if any.
+    left = state == FREE
+    if left.any():
+        e = left[sr] & (state[sc] != FREE)
+        best = np.full(n, -1, dtype=np.int64)
+        np.maximum.at(best, sr[e], pri[sc[e]])
+        inv_pri = np.empty(n, dtype=np.int64)
+        inv_pri[pri] = np.arange(n)
+        attach = left & (best >= 0)
+        root_of[attach] = root_of[inv_pri[best[attach]]]
+        # Truly isolated nodes become their own aggregates.
+        solo = left & (best < 0)
+        root_of[solo] = np.nonzero(solo)[0]
+    # Relabel roots consecutively (stable in node order).
+    uniq, agg = np.unique(root_of, return_inverse=True)
+    return agg.astype(np.int64)
 
 
 def _coarsen(row_ptr, cols, vals, n, agg, nc):
@@ -108,16 +134,29 @@ class AmgPreconditioner(Preconditioner):
                 break
             agg = aggregate(row_ptr, cols, vals, n)
             nc = int(agg.max()) + 1
-            if nc >= n:  # no coarsening progress
+            if nc >= 0.75 * n:
+                # Stagnating tail (densified Galerkin graphs aggregate
+                # poorly): stop and dense-solve here rather than stacking
+                # near-useless levels that cost a dispatch each per cycle.
                 break
             diag = np.zeros(n)
             rows = np.repeat(np.arange(n), np.diff(row_ptr))
             np.add.at(diag, rows[cols == rows], vals[cols == rows])
+            # ELL layout for the level matvec: a (n, K) gather + row-sum
+            # vectorizes far better than a COO scatter-add (segment_sum
+            # threads poorly on CPU and serializes on TPU); K here is the
+            # max row degree of the level, small for FVM graphs.
+            counts = np.diff(row_ptr)
+            K = max(int(counts.max()), 1)
+            pos = np.arange(len(rows)) - row_ptr[rows]
+            ell_cols = np.zeros((n, K), dtype=np.int32)
+            ell_vals = np.zeros((n, K))
+            ell_cols[rows, pos] = cols
+            ell_vals[rows, pos] = vals
             self._levels.append(
                 {
-                    "rows": jnp.asarray(rows),
-                    "cols": jnp.asarray(cols),
-                    "vals": jnp.asarray(vals),
+                    "ell_cols": jnp.asarray(ell_cols),
+                    "ell_vals": jnp.asarray(ell_vals),
                     "inv_diag": jnp.asarray(
                         np.where(diag != 0.0, 1.0 / np.where(diag == 0, 1, diag), 0.0)
                     ),
@@ -139,7 +178,7 @@ class AmgPreconditioner(Preconditioner):
 
     # -- device-side V-cycle ------------------------------------------------
     def _matvec(self, lvl, x):
-        return segment_sum(lvl["vals"] * x[lvl["cols"]], lvl["rows"], lvl["n"])
+        return (lvl["ell_vals"] * x[lvl["ell_cols"]]).sum(axis=1)
 
     def _smooth(self, lvl, x, b):
         for _ in range(self.num_sweeps):
