@@ -29,6 +29,11 @@ Two in-window strategies:
   (R, K, C) intermediate.  O(nnz) traffic but O(n·K·C) VPU compute —
   slower than dense on the step operator (measured); kept because its
   memory footprint is O(nnz), not O(n·C).
+* ``mode="pallas"``: the :mod:`stormx.ops.pallas_sell` TPU kernel — the
+  in-window selection as lane-wise ``tpu.dynamic_gather`` on VMEM-resident
+  windows: O(nnz) traffic AND O(nnz·C/128) vector work.  TPU-only
+  (interpret-mode elsewhere, for tests); requires f32 and
+  ``block_rows % 128 == 0``.
 
 The plain ELL gather path stays as the general-case oracle; tests assert
 both modes match it to roundoff.
@@ -88,6 +93,12 @@ class SlicedELL:
         )  # (nb, C)
 
     def matvec(self, x: jax.Array) -> jax.Array:
+        if self.mode == "pallas":
+            from stormx.ops.pallas_sell import sell_matvec_pallas
+
+            return sell_matvec_pallas(
+                self, x, interpret=jax.default_backend() != "tpu"
+            )
         win = self._windows(x)  # (nb, C)
         if self.mode == "dense":
             y = jnp.einsum(
@@ -257,18 +268,20 @@ def sell_from_csr(
 
 
 def auto_operator(
-    csr, *, reorder: bool = True, max_diags: int = 64, block_rows: int = 128,
-    mode: str = "dense",
+    csr, *, reorder: bool = True, max_diags: int = 64,
+    block_rows: int | None = None, mode: str = "auto",
 ):
     """Pick the TPU fast path for a sparse operator → (operator, perm).
 
-    Measured v5e landscape (step-mesh operator, f32): DIA streams ~95-111
-    Gnnz/s when the operator IS banded with few populated diagonals
-    (structured stencils); the windowed SlicedELL runs ~0.95 Gnnz/s on
-    genuinely unstructured operators (bandwidth roofline on its padded
-    windows — 6.6× the ELL gather's 0.14); the ELL ``x[cols]`` gather is
-    the correctness oracle only.  This helper applies that policy: RCM,
-    then DIA iff ≤ ``max_diags`` distinct offsets survive, else SlicedELL.
+    Measured v5e landscape (step-mesh operator, f32; slope protocol): DIA
+    streams ~293 Gnnz/s when the operator IS banded with few populated
+    diagonals (structured stencils); the Pallas window-gather SlicedELL
+    (``mode="pallas"``) runs ~3.7 Gnnz/s on genuinely unstructured
+    operators; the XLA dense-window einsum ~0.97; onehot ~0.63; the ELL
+    ``x[cols]`` gather oracle ~0.14.  This helper applies that policy:
+    RCM, then DIA iff ≤ ``max_diags`` distinct offsets survive, else
+    SlicedELL — ``mode="auto"`` resolves to the Pallas kernel on TPU for
+    f32 operators and to the XLA dense-window einsum elsewhere.
 
     Wide-band degradation (the documented ``sell_from_ell`` guard): when the
     post-RCM band is too wide for dense windows (O(n²)-ish storage), fall
@@ -303,6 +316,21 @@ def auto_operator(
     )
     if n_offsets <= max_diags:
         return dia_from_csr(pcsr, max_diags=max_diags), perm
+    if mode == "auto":
+        mode = (
+            "pallas"
+            if (
+                jax.default_backend() == "tpu"
+                and np.asarray(data).dtype == np.float32
+                and (block_rows is None or block_rows % 128 == 0)
+            )
+            else "dense"
+        )
+    if block_rows is None:
+        # Measured optima (BENCH_NOTES.md): the Pallas kernel balances
+        # grid-step overhead vs masked-chunk waste at R=512; the XLA modes
+        # peak at R=128.
+        block_rows = 512 if mode == "pallas" else 128
     try:
         sell, _ = sell_from_csr(pcsr, block_rows=block_rows, mode=mode, reorder=False)
         return sell, perm
