@@ -70,14 +70,19 @@ def main():
 
         return jax.jit(run)
 
+    reps_list = (
+        tuple(int(r) for r in sys.argv[1:]) if len(sys.argv) > 1 else (50, 200, 800)
+    )
+    print(f"operator ready (n={n}); reps={reps_list}", flush=True)
     rng = np.random.default_rng(11)
     results = {}
     for name, step in (("xla", xla_step), ("pallas", pallas_step)):
         times = {}
-        for reps in (50, 200, 800):
+        for reps in reps_list:
             c = chain(step, reps)
             bw = jnp.asarray(rng.standard_normal(n).astype(np.float32))
             bw.block_until_ready()
+            print(f"  {name} reps={reps}: compiling...", flush=True)
             c(bw).block_until_ready()  # compile + warm
             best = np.inf
             for _ in range(3):
@@ -88,15 +93,21 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             times[reps] = best
             print(f"  {name} reps={reps}: {best:.4f}s", flush=True)
-        s1 = (times[200] - times[50]) / 150.0
-        s2 = (times[800] - times[200]) / 600.0
-        results[name] = s2
+        rs = sorted(times)
+        slopes = [
+            (times[b] - times[a]) / (b - a) for a, b in zip(rs, rs[1:])
+        ]
+        results[name] = slopes[-1]
         print(
-            f"{name:7s} slope(50→200) {s1 * 1e6:8.1f} us/iter   "
-            f"slope(200→800) {s2 * 1e6:8.1f} us/iter"
+            f"{name:7s} slopes "
+            + "  ".join(
+                f"({a}→{b}) {s * 1e6:8.1f} us/iter"
+                for (a, b), s in zip(zip(rs, rs[1:]), slopes)
+            ),
+            flush=True,
         )
     print(
-        f"pallas/xla step ratio (200→800 slopes): "
+        f"pallas/xla step ratio (last slopes): "
         f"{results['xla'] / results['pallas']:.3f}x"
     )
 

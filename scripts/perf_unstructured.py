@@ -78,6 +78,10 @@ def main():
     variants["dense8"] = sell2.matvec
     sell3, _ = sell_from_csr(csr32, block_rows=128, mode="dense")
     variants["dense128"] = sell3.matvec
+    # The Pallas window-gather kernel (r3 fast path; BENCH_NOTES.md): R=512
+    # is the measured optimum.
+    sell4, _ = sell_from_csr(csr32, block_rows=512, mode="pallas")
+    variants["pallas512"] = sell4.matvec
     # ELL gather on the SAME RCM-permuted operator for a fair comparison.
     inv = np.empty(n, dtype=np.int64)
     inv[perm] = np.arange(n)

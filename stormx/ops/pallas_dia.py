@@ -12,14 +12,15 @@ Why these exist (measured on v5e, 4.2M-row 5-diagonal Poisson, float32):
 The kernels keep one band window of the vector VMEM-resident per row tile
 and derive every diagonal from it (one HBM read of x total).
 
-Measurement caveat (this environment): per-``pallas_call`` dispatch through
-the remote-TPU relay is large and NOISY — an output-only kernel writing
-17 MB measured the same ~420 µs as the full 117 MB SpMV, and totals do not
-scale with rep counts (see ``scripts/perf_pallas_bisect.py``).  The kernels
-are compiled-validated bit-exact against the XLA path at small and full
-size; wall-clock wins over fused XLA could not be demonstrated through the
-relay, so the default solve paths keep the XLA DIA fast path and these
-kernels remain opt-in.
+SETTLED (r3, ``scripts/perf_dia_cg_slope.py``): with the chained-slope
+protocol (K data-dependent CG iterations inside one jit, K ∈ {50,200,800})
+the comparison is clean — XLA's fused CG iteration runs **84 µs**, the
+Pallas ``cg_step`` **181 µs**: the hand-tiled kernels LOSE by 2.1×.  The
+earlier "~428 µs XLA iteration" figure was relay dispatch-floor inflation,
+and XLA's whole-iteration fusion beats this kernel's own two-pass
+structure.  These kernels are therefore a REFERENCE IMPLEMENTATION only
+(bit-exact-validated, tests/test_pallas.py); no solve path uses them — the
+XLA DIA path is the production fast path.
 
 Layout is the key TPU detail: vectors live as (rows, 128) tiles, and a
 flat shift by ``s`` decomposes as ``q, r = divmod(s, 128)`` into a sublane

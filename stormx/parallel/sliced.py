@@ -49,8 +49,17 @@ class PartitionedSliced:
     pad_lo: int
     window: int  # C
     block_rows: int  # R
-    dense_blocks: jnp.ndarray  # (P, nbl, R, C)
+    mode: str  # "dense" (XLA MXU einsum) | "pallas" (window-gather kernel)
+    dense_blocks: jnp.ndarray | None  # (P, nbl, R, C), mode="dense"
+    ell_data: jnp.ndarray | None  # (P, nbl, R, K), mode="pallas"
+    ell_cols: jnp.ndarray | None  # (P, nbl, R, K) int32, mode="pallas"
     perm: np.ndarray  # perm[new] = old row id (global RCM order)
+
+    def op_arrays(self) -> tuple:
+        """Device arrays fed to shard_map (leading axis = mesh axis)."""
+        if self.mode == "dense":
+            return (self.dense_blocks,)
+        return (self.ell_data, self.ell_cols)
 
     @property
     def h_lo(self) -> int:
@@ -81,16 +90,42 @@ class PartitionedSliced:
             right = lax.ppermute(x_loc[:h_hi], axis_name, bwd)
             return left, right
 
-        def contract(blocks, win):
-            return jnp.einsum(
-                "brc,bc->br", blocks, win, precision=lax.Precision.HIGHEST
-            ).reshape(-1)
+        if self.mode == "dense":
+            def contract(ops, win):
+                (blocks,) = ops
+                return jnp.einsum(
+                    "brc,bc->br", blocks, win, precision=lax.Precision.HIGHEST
+                ).reshape(-1)
+        else:
+            sub, K = R // 128, self.ell_data.shape[-1]
+
+            def contract(ops, win):
+                import jax as _jax
+
+                from stormx.ops.pallas_sell import _apply
+
+                data, cols = ops  # (m, R, K)
+                m = data.shape[0]
+                win3 = win.reshape(m, C // 128, 128)
+                vt = data.reshape(m, sub, 128, K).transpose(0, 1, 3, 2)
+                ct = cols.reshape(m, sub, 128, K).transpose(0, 1, 3, 2)
+                return _apply(
+                    win3,
+                    vt.reshape(m, sub * K, 128),
+                    ct.reshape(m, sub * K, 128),
+                    sub=sub,
+                    K=K,
+                    interpret=_jax.default_backend() != "tpu",
+                ).reshape(-1)
+
+        def take(ops, lo, hi):
+            return tuple(o[lo:hi] for o in ops)
 
         if not overlap:
-            def matvec(x_loc, blocks):
+            def matvec(x_loc, *ops):
                 left, right = permutes(x_loc)
                 x_ext = jnp.concatenate([left, x_loc, right])
-                return contract(blocks, frames(x_ext, nbl))
+                return contract(ops, frames(x_ext, nbl))
 
             return matvec
 
@@ -101,12 +136,12 @@ class PartitionedSliced:
         if bl_hi <= bl_lo:  # slab too thin to split — plain path
             return self.local_matvec(axis_name, overlap=False)
 
-        def matvec(x_loc, blocks):
+        def matvec(x_loc, *ops):
             left, right = permutes(x_loc)  # issued before interior compute
             # Interior: frames from x_loc alone (no halo dependence).
             off = bl_lo * R - h_lo
             y_mid = contract(
-                blocks[bl_lo:bl_hi],
+                take(ops, bl_lo, bl_hi),
                 frames(
                     lax.slice(x_loc, (off,), (off + (bl_hi - bl_lo - 1) * R + C,)),
                     bl_hi - bl_lo,
@@ -114,11 +149,13 @@ class PartitionedSliced:
             )
             # Boundary blocks consume the landed halos.
             x_ext = jnp.concatenate([left, x_loc, right])
-            y_head = contract(blocks[:bl_lo], frames(x_ext[: (bl_lo - 1) * R + C], bl_lo))
+            y_head = contract(
+                take(ops, 0, bl_lo), frames(x_ext[: (bl_lo - 1) * R + C], bl_lo)
+            )
             tail_n = nbl - bl_hi
             tail_start = bl_hi * R  # into x_ext coords: + h_lo
             y_tail = contract(
-                blocks[bl_hi:],
+                take(ops, bl_hi, nbl),
                 frames(
                     lax.slice(x_ext, (tail_start,), (tail_start + (tail_n - 1) * R + C,)),
                     tail_n,
@@ -130,30 +167,52 @@ class PartitionedSliced:
 
 
 def partition_sliced(
-    csr, num_parts: int, *, block_rows: int = 128
+    csr, num_parts: int, *, block_rows: int | None = None, mode: str = "auto"
 ) -> PartitionedSliced:
-    """RCM-reorder a CSR operator and split the windowed-dense form into P
-    contiguous row slabs (host-side)."""
+    """RCM-reorder a CSR operator and split the windowed form into P
+    contiguous row slabs (host-side).
+
+    ``mode="pallas"`` shards the O(nnz) ELL arrays and applies each slab
+    with the window-gather kernel (10× the dense einsum per chip, 192×
+    less operator memory on the step mesh — BENCH_NOTES.md);
+    ``mode="dense"`` shards precomputed (nbl, R, C) dense windows.
+    ``"auto"``: pallas on TPU for f32, dense elsewhere.
+    """
     from stormx.sparse.windowed import sell_from_csr
 
-    sell, perm = sell_from_csr(csr, block_rows=block_rows, mode="dense")
+    if mode == "auto":
+        mode = (
+            "pallas"
+            if (
+                jax.default_backend() == "tpu"
+                and np.asarray(csr.data).dtype == np.float32
+            )
+            else "dense"
+        )
+    if block_rows is None:
+        block_rows = 512 if mode == "pallas" else 128
+    sell, perm = sell_from_csr(csr, block_rows=block_rows, mode=mode)
     n = csr.shape[0]
     R, C = block_rows, sell.window
-    nb = sell.dense_blocks.shape[0]
+    nb = sell.data.shape[0]
     nbl = -(-nb // num_parts)
     n_loc = nbl * R
     pad_b = nbl * num_parts - nb
-    blocks = np.asarray(sell.dense_blocks)
-    if pad_b:
-        blocks = np.concatenate(
-            [blocks, np.zeros((pad_b, R, C), blocks.dtype)]
-        )
     h_hi = C - R - sell.pad_lo
     if sell.pad_lo > n_loc or h_hi > n_loc:
         raise ValueError(
             f"band reach ({sell.pad_lo}/{h_hi}) exceeds slab rows {n_loc}; "
             "use fewer parts"
         )
+
+    def shard(arr):
+        arr = np.asarray(arr)
+        if pad_b:
+            arr = np.concatenate(
+                [arr, np.zeros((pad_b,) + arr.shape[1:], arr.dtype)]
+            )
+        return jnp.asarray(arr.reshape((num_parts, nbl) + arr.shape[1:]))
+
     return PartitionedSliced(
         num_parts=num_parts,
         n_global=n,
@@ -161,7 +220,10 @@ def partition_sliced(
         pad_lo=sell.pad_lo,
         window=C,
         block_rows=R,
-        dense_blocks=jnp.asarray(blocks.reshape(num_parts, nbl, R, C)),
+        mode=mode,
+        dense_blocks=shard(sell.dense_blocks) if mode == "dense" else None,
+        ell_data=shard(sell.data) if mode == "pallas" else None,
+        ell_cols=shard(sell.local_cols) if mode == "pallas" else None,
         perm=perm,
     )
 
@@ -209,9 +271,13 @@ def sharded_sliced_solve(
         extras["diag"] = _partition_vec(ps, jnp.asarray(precond_diag))
     extra_keys = tuple(extras)
 
-    def local_solve(b_loc, x0_loc, blocks, *extra_vals):
-        b_loc, x0_loc, blocks = b_loc[0], x0_loc[0], blocks[0]
-        op = make_operator(lambda v: local_mv(v, blocks))
+    n_op = len(ps.op_arrays())
+
+    def local_solve(b_loc, x0_loc, *rest):
+        op_vals, extra_vals = rest[:n_op], rest[n_op:]
+        b_loc, x0_loc = b_loc[0], x0_loc[0]
+        op_vals = tuple(o[0] for o in op_vals)
+        op = make_operator(lambda v: local_mv(v, *op_vals))
         pre = None
         kw = dict(solver_kw)
         for key, val in zip(extra_keys, extra_vals):
@@ -232,12 +298,32 @@ def sharded_sliced_solve(
         x=P(AXIS), converged=P(), num_iterations=P(),
         absolute_error=P(), relative_error=P(), history=P(),
     )
-    sharded = jax.shard_map(
-        local_solve,
-        mesh=mesh,
-        in_specs=tuple([P(AXIS)] * (3 + len(extras))),
-        out_specs=out_specs,
+    args = (bp, xp0) + ps.op_arrays() + tuple(extras[k] for k in extra_keys)
+    # Program cache (same contract as sharded_solve): repeated solves with
+    # the same configuration must not re-trace.
+    kw_key = tuple(
+        sorted(
+            (k, v if isinstance(v, (int, float, str, bool, type(None))) else id(v))
+            for k, v in solver_kw.items()
+        )
     )
-    args = (bp, xp0, ps.dense_blocks) + tuple(extras[k] for k in extra_keys)
-    res = jax.jit(sharded)(*args)
+    cache_key = (mesh, method.lower(), opts, extra_keys, overlap, kw_key)
+    cache = ps.__dict__.get("_solve_cache")
+    if cache is None:
+        cache = {}
+        object.__setattr__(ps, "_solve_cache", cache)
+    jitted = cache.get(cache_key)
+    if jitted is None:
+        sharded = jax.shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=tuple([P(AXIS)] * len(args)),
+            out_specs=out_specs,
+            # pallas_call inside shard_map cannot declare varying-mesh-axes
+            # on its out_shape; disable the vma check for this region.
+            check_vma=False,
+        )
+        jitted = jax.jit(sharded)
+        cache[cache_key] = jitted
+    res = jitted(*args)
     return res._replace(x=_unpartition_vec(ps, res.x))

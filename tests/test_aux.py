@@ -128,6 +128,43 @@ class TestHybridIO:
             nodes, [(tris, shapes.TRIANGLE), (quads, shapes.QUADRANGLE)]
         )
 
+    def test_vtk_3d_hybrid_cells(self, tmp_path, rng):
+        from stormx.mesh import build_hybrid_mesh, shapes
+
+        # Tetra + pyramid + wedge sharing faces of a unit-cube corner — the
+        # VTK writer is the product viz surface for 3-D (VERDICT r2), so
+        # hybrid cells must emit correct per-cell VTK types (10/14/13).
+        nodes = np.array(
+            [
+                [0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1],
+                [2, 0, 0], [2, 1, 0],
+            ],
+            dtype=float,
+        )
+        tets = np.array([[0, 1, 2, 3]])
+        pyramids = np.array([[1, 4, 2, 0, 3]])  # quad base 1-4-2-0, apex 3
+        wedges = np.array([[1, 8, 4, 5, 9, 7]])
+        m = build_hybrid_mesh(
+            nodes,
+            [
+                (tets, shapes.TETRAHEDRON),
+                (pyramids, shapes.PYRAMID),
+                (wedges, shapes.PENTAHEDRON),
+            ],
+        )
+        assert m.dim == 3 and m.num_cells == 3
+        p = str(tmp_path / "hybrid3d.vtk")
+        write_vtk(m, p, {"c": rng.standard_normal(m.num_cells)})
+        lines = open(p).read().splitlines()
+        ti = lines.index("CELL_TYPES 3")
+        assert [lines[ti + 1], lines[ti + 2], lines[ti + 3]] == ["10", "14", "13"]
+        # Cell records carry the right node counts.
+        ci = lines.index("CELLS 3 18")  # (1+4) + (1+5) + (1+6)
+        assert lines[ci + 1].startswith("4 ")
+        assert lines[ci + 2].startswith("5 ")
+        assert lines[ci + 3].startswith("6 ")
+
     def test_vtk_mixed_cells(self, tmp_path, rng):
         m = self._hybrid()
         p = str(tmp_path / "hybrid.vtk")

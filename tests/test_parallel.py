@@ -627,3 +627,93 @@ class TestSlicedDistributed:
         np.testing.assert_allclose(
             np.asarray(res.x), np.asarray(serial.x), atol=1e-9
         )
+
+
+class TestSlicedPallasDistributed:
+    """mode='pallas' distributed SlicedELL: O(nnz) sharded operator state,
+    per-shard window-gather kernel (interpret on CPU), same halos/psums.
+    Contract: matvec matches the serial ELL oracle and solve histories
+    match the dense mode bit-for-bit in structure (same halo math)."""
+
+    def _f32_csr(self):
+        from stormx.fvm.divgrad import assemble_laplacian
+        from stormx.mesh import structured_tri_rect
+        from stormx.sparse.formats import CSR
+
+        mesh = structured_tri_rect(40, 32)  # 2560 cells
+        csr = assemble_laplacian(mesh).to_csr()
+        data = np.asarray(csr.data, dtype=np.float32).copy()
+        # Shift the diagonal off the constant nullspace.
+        rows = np.repeat(
+            np.arange(csr.shape[0]), np.diff(np.asarray(csr.row_ptr))
+        )
+        data[np.asarray(csr.indices) == rows] += 0.1
+        return CSR(
+            data=jnp.asarray(data),
+            indices=csr.indices,
+            row_ptr=csr.row_ptr,
+            shape=csr.shape,
+        )
+
+    @pytest.mark.parametrize("p", [2, 4])
+    def test_matvec_matches_dense_mode(self, p, rng):
+        from jax.sharding import PartitionSpec as PS
+        from stormx.parallel import make_device_mesh, partition_sliced
+        from stormx.parallel.sliced import _partition_vec, _unpartition_vec
+
+        csr = self._f32_csr()
+        n = csr.shape[0]
+        x = rng.standard_normal(n).astype(np.float32)
+        mesh = make_device_mesh(p)
+        ys = {}
+        for mode in ("dense", "pallas"):
+            ps = partition_sliced(csr, p, mode=mode, block_rows=128)
+            assert ps.mode == mode
+            local = ps.local_matvec("parts")
+            n_op = len(ps.op_arrays())
+            mv = jax.jit(
+                jax.shard_map(
+                    lambda xl, *ops: local(xl[0], *(o[0] for o in ops))[None],
+                    mesh=mesh,
+                    in_specs=tuple([PS("parts")] * (1 + n_op)),
+                    out_specs=PS("parts"),
+                    check_vma=False,
+                )
+            )
+            ys[mode] = np.asarray(
+                _unpartition_vec(
+                    ps, mv(_partition_vec(ps, jnp.asarray(x)), *ps.op_arrays())
+                )
+            )
+        scale = np.abs(ys["dense"]).max()
+        np.testing.assert_allclose(ys["pallas"], ys["dense"], atol=2e-6 * scale)
+        # pallas mode must not materialize dense windows.
+        ps = partition_sliced(csr, p, mode="pallas", block_rows=128)
+        assert ps.dense_blocks is None and ps.ell_data is not None
+
+    def test_solve_matches_dense_mode(self, rng):
+        from stormx.parallel import (
+            make_device_mesh,
+            partition_sliced,
+            sharded_sliced_solve,
+        )
+        from stormx.solvers import SolverOptions
+
+        csr = self._f32_csr()
+        n = csr.shape[0]
+        b = rng.standard_normal(n).astype(np.float32)
+        opts = SolverOptions(
+            num_iterations=400, absolute_tolerance=0.0, relative_tolerance=1e-5
+        )
+        mesh = make_device_mesh(4)
+        res = {}
+        for mode in ("dense", "pallas"):
+            ps = partition_sliced(csr, 4, mode=mode, block_rows=128)
+            res[mode] = sharded_sliced_solve(ps, b, mesh=mesh, options=opts)
+            assert bool(res[mode].converged), mode
+        k = int(res["dense"].num_iterations)
+        assert abs(int(res["pallas"].num_iterations) - k) <= 2
+        np.testing.assert_allclose(
+            np.asarray(res["pallas"].x), np.asarray(res["dense"].x),
+            atol=5e-5 * np.abs(np.asarray(res["dense"].x)).max(),
+        )
