@@ -56,7 +56,7 @@ def build_small():
     return sell, n
 
 
-def build_step(mode="dense"):
+def build_step(mode="dense", block_rows=128, coords=False):
     import jax.numpy as jnp
 
     from stormx.fvm.divgrad import assemble_laplacian
@@ -72,7 +72,10 @@ def build_step(mode="dense"):
         row_ptr=csr.row_ptr,
         shape=csr.shape,
     )
-    sell, perm = sell_from_csr(csr32, mode=mode)
+    sell, perm = sell_from_csr(
+        csr32, mode=mode, block_rows=block_rows,
+        coords=np.asarray(mesh.cell_centers) if coords else None,
+    )
     return sell, csr.shape[0]
 
 
@@ -201,25 +204,26 @@ def sweep():
         )
 
 
-def sweep_groups():
-    """groups (G blocks per grid step) sweep at block_rows=128."""
+def coords_perf():
+    """Pallas R=512 with RCM vs coordinate-sort ordering (bandwidth 524 vs
+    504 on the step mesh — drops the window from 12 to 8 chunks)."""
     jax = setup()
     import jax.numpy as jnp
 
     from stormx.ops.pallas_sell import sell_matvec_pallas
 
-    sell, n = build_step("onehot")
-    nnz = int(np.count_nonzero(np.asarray(sell.data)))
     rng = np.random.default_rng(3)
-    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    y_ref = np.asarray(sell.matvec(x0))
-    for G in (1, 2, 4, 8, 16, 32):
-        y = np.asarray(sell_matvec_pallas(sell, x0, groups=G))
-        rel = np.abs(y - y_ref).max() / np.abs(y_ref).max()
-        assert rel < 1e-5, (G, rel)
+    for coords in (False, True):
+        sell, n = build_step("onehot", block_rows=512, coords=coords)
+        nnz = int(np.count_nonzero(np.asarray(sell.data)))
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        y_ref = np.asarray(sell.matvec(x))
+        y_pal = np.asarray(sell_matvec_pallas(sell, x))
+        rel = np.abs(y_pal - y_ref).max() / np.abs(y_ref).max()
+        assert rel < 1e-5, (coords, rel)
         times = {}
         for reps in (100, 400):
-            c = chain_fn(lambda v: sell_matvec_pallas(sell, v, groups=G), reps)
+            c = chain_fn(lambda v: sell_matvec_pallas(sell, v), reps)
             xw = jnp.asarray(rng.standard_normal(n).astype(np.float32))
             c(xw).block_until_ready()
             best = np.inf
@@ -232,8 +236,8 @@ def sweep_groups():
             times[reps] = best
         slope = (times[400] - times[100]) / 300.0
         print(
-            f"G={G:3d} slope {slope * 1e6:9.2f} us/apply"
-            f"  {nnz / slope / 1e9:8.2f} Gnnz/s"
+            f"coords={coords!s:5s} C={sell.window:5d} "
+            f"slope {slope * 1e6:9.2f} us/apply  {nnz / slope / 1e9:8.2f} Gnnz/s"
         )
 
 
@@ -249,8 +253,8 @@ def main(stage):
         perf()
     elif stage == "sweep":
         sweep()
-    elif stage == "groups":
-        sweep_groups()
+    elif stage == "coords":
+        coords_perf()
     else:
         raise SystemExit(f"unknown stage {stage}")
 

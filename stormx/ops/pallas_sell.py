@@ -90,69 +90,6 @@ def _kernel(win_ref, vals_ref, cols_ref, out_ref, *, n_chunks: int, sub: int, K:
     )
 
 
-def _kernel_grouped(
-    win_ref, vals_ref, cols_ref, out_ref, *, n_chunks: int, G: int, K: int
-):
-    """One grid step = G independent 128-row blocks, each with its OWN
-    window.  Decouples grid-step overhead (÷G) from masked-chunk waste
-    (stays at the narrow per-128-row window's C/128) — measured faster
-    than widening the window (block_rows > 128), which pays more masked
-    gathers per nnz.
-
-    Everything is strictly 2-D (Mosaic's dynamic_gather and friends):
-    win_ref:  (G·n_chunks, 128) — group g's chunk c at row g·n_chunks + c
-    vals_ref: (G·K, 128)        — group g's slot k at row g·K + k
-    cols_ref: (G·K, 128)
-    out_ref:  (G, 128)
-    """
-    win = win_ref[...]
-    vals = vals_ref[...]
-    cols = cols_ref[...]
-    lane = jnp.bitwise_and(cols, 127)
-    chunk = jnp.right_shift(cols, 7)
-    acc = jnp.zeros(vals.shape, vals.dtype)
-    for c in range(n_chunks):
-        # src row g·K + k = window chunk c of group g.
-        src = jnp.concatenate(
-            [
-                jnp.broadcast_to(
-                    win[g * n_chunks + c : g * n_chunks + c + 1], (K, 128)
-                )
-                for g in range(G)
-            ],
-            axis=0,
-        )
-        g = jnp.take_along_axis(src, lane, axis=1, mode="promise_in_bounds")
-        acc = acc + jnp.where(chunk == c, g, jnp.zeros((), vals.dtype))
-    prod = vals * acc
-    out_ref[...] = jnp.concatenate(
-        [prod[i * K : (i + 1) * K].sum(axis=0, keepdims=True) for i in range(G)],
-        axis=0,
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("G", "K", "interpret"))
-def _apply_grouped(win2, vals_t, cols_t, *, G: int, K: int, interpret: bool = False):
-    from jax.experimental import pallas as pl
-
-    total_rows, _ = win2.shape  # nb · n_chunks
-    nbK, _ = vals_t.shape  # nb · K
-    nb = nbK // K
-    n_chunks = total_rows // nb
-    return pl.pallas_call(
-        functools.partial(_kernel_grouped, n_chunks=n_chunks, G=G, K=K),
-        grid=(nb // G,),
-        out_shape=jax.ShapeDtypeStruct((nb, 128), vals_t.dtype),
-        in_specs=[
-            pl.BlockSpec((G * n_chunks, 128), lambda b: (b, 0)),
-            pl.BlockSpec((G * K, 128), lambda b: (b, 0)),
-            pl.BlockSpec((G * K, 128), lambda b: (b, 0)),
-        ],
-        out_specs=pl.BlockSpec((G, 128), lambda b: (b, 0)),
-        interpret=interpret,
-    )(win2, vals_t, cols_t)
-
-
 @functools.partial(jax.jit, static_argnames=("sub", "K", "interpret"))
 def _apply(win3, vals_t, cols_t, *, sub: int, K: int, interpret: bool = False):
     from jax.experimental import pallas as pl
@@ -173,18 +110,18 @@ def _apply(win3, vals_t, cols_t, *, sub: int, K: int, interpret: bool = False):
     )(win3, vals_t, cols_t)
 
 
-def sell_matvec_pallas(sell, x, *, groups: int = 1, interpret: bool = False):
+def sell_matvec_pallas(sell, x, *, interpret: bool = False):
     """y = A·x for a :class:`stormx.sparse.windowed.SlicedELL` via the
     Pallas window-gather kernel.  Same products as ``sell.matvec``; the
     K-reduction tree may differ, so agreement is to f32 roundoff
     (measured ~1e-7 relative on the step operator), not bit-exact.
 
-    ``groups``: 128-row blocks per grid step (block_rows == 128 only) —
-    amortizes per-grid-step overhead.  Experimental: Mosaic requires the
-    folded sublane dims (G·C/128 and G·K) divisible by 8, and the grouped
-    lowering has NOT yet been validated on hardware — the production
-    default is the ungrouped kernel with ``block_rows=512`` (measured 9.9
-    Gnnz/s, BENCH_NOTES.md).
+    Grid-step overhead vs masked-chunk waste is balanced by the window
+    size: ``block_rows=512`` is the measured optimum (9.9 Gnnz/s,
+    BENCH_NOTES.md).  A "G independent 128-row blocks per grid step"
+    variant was tried twice and both formulations hung the remote Mosaic
+    compile (CLAUDE.md lore) — do not resurrect it without a fresh
+    toolchain.
     """
     if not supports_pallas(sell):
         raise ValueError(
@@ -195,36 +132,6 @@ def sell_matvec_pallas(sell, x, *, groups: int = 1, interpret: bool = False):
     C = sell.window
     win = sell._windows(x.astype(sell.data.dtype))  # (nb, C) — XLA data movement
     win3 = win.reshape(nb, C // 128, 128)
-    if sub == 1 and groups > 1:
-        G = min(groups, nb)
-        if (G * (C // 128)) % 8 or (G * K) % 8:
-            raise ValueError(
-                f"grouped kernel needs G·C/128 ({G * (C // 128)}) and G·K "
-                f"({G * K}) divisible by 8 (Mosaic sublane blocking)"
-            )
-        pad = (-nb) % G
-        vals_t = sell.data.transpose(0, 2, 1)  # (nb, K, 128)
-        cols_t = sell.local_cols.transpose(0, 2, 1)
-        if pad:
-            win3 = jnp.concatenate(
-                [win3, jnp.zeros((pad,) + win3.shape[1:], win3.dtype)]
-            )
-            vals_t = jnp.concatenate(
-                [vals_t, jnp.zeros((pad,) + vals_t.shape[1:], vals_t.dtype)]
-            )
-            cols_t = jnp.concatenate(
-                [cols_t, jnp.zeros((pad,) + cols_t.shape[1:], cols_t.dtype)]
-            )
-        nbp = nb + pad
-        y = _apply_grouped(
-            win3.reshape(nbp * (C // 128), 128),
-            vals_t.reshape(nbp * K, 128),
-            cols_t.reshape(nbp * K, 128),
-            G=G,
-            K=K,
-            interpret=interpret,
-        )
-        return y.reshape(-1)[: sell.shape[0]]
     # (nb, R, K) → (nb, sub·K, 128): lane = row within its 128-group,
     # sublane = (s, k).  Transposes are cheap XLA copies of O(nnz) elements.
     vals_t = sell.data.reshape(nb, sub, 128, K).transpose(0, 1, 3, 2)

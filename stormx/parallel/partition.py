@@ -99,6 +99,43 @@ def rcm_order(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     return _rcm_python(n, ptr, c, deg)
 
 
+def bandwidth_order(
+    n: int, rows: np.ndarray, cols: np.ndarray, coords: np.ndarray | None = None
+) -> np.ndarray:
+    """Minimum-bandwidth ordering: best of RCM and (when cell ``coords``
+    are available) lexicographic coordinate sorts along each axis.
+
+    The windowed SpMV's cost scales with the window span C ∝ b_lo + b_hi
+    (`stormx.sparse.windowed`, `stormx.ops.pallas_sell`), so the cheapest
+    ordering that minimizes the TOTAL band wins.  On long-thin domains a
+    coordinate sort along the long axis beats RCM (measured: 504 vs 524 on
+    the reference step mesh — enough to drop the R=512 pallas window from
+    12 to 8 chunks).  Returns ``order[new] = old``.
+    """
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+
+    def bw(perm):
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        d = inv[cols] - inv[rows]
+        return int(-d.min(initial=0)) + int(d.max(initial=0))
+
+    candidates = [rcm_order(n, rows, cols)]
+    if coords is not None:
+        coords = np.asarray(coords)
+        span = coords.max(axis=0) - coords.min(axis=0)
+        eps = 1e-9 * (span.max() + 1.0)
+        for ax in range(coords.shape[1]):
+            others = [a for a in range(coords.shape[1]) if a != ax]
+            key = coords[:, ax].copy()
+            for o in others:
+                key = key + eps * coords[:, o]
+            candidates.append(np.argsort(key, kind="stable").astype(np.int64))
+    widths = [bw(p) for p in candidates]
+    return candidates[int(np.argmin(widths))]
+
+
 def _bfs_partition_python(
     n: int, ptr: np.ndarray, c: np.ndarray, deg: np.ndarray, k: int
 ) -> np.ndarray:

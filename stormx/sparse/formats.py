@@ -39,6 +39,8 @@ __all__ = [
     "ell_from_csr",
     "bsr_from_csr",
     "dia_from_csr",
+    "ell_spgemm",
+    "ell_add",
 ]
 
 
@@ -398,3 +400,68 @@ def bsr_from_csr(csr: CSR, block_size: int, row_width: int | None = None) -> BSR
     cols[u_brows, slot_of_block] = u_bcols
     blocks[u_brows[inv], slot_of_block[inv], rows % b, indices % b] += data
     return BSR(blocks=jnp.asarray(blocks), cols=jnp.asarray(cols), shape=csr.shape)
+
+
+def ell_spgemm(a: ELL, b: ELL) -> CSR:
+    """Host-side sparse·sparse product C = A·B for ELL operands.
+
+    Used to assemble composed FVM operators (e.g. the Cahn–Hilliard
+    biharmonic term D², ``stormx/apps/cahn_hilliard.py``) ONCE per mesh so
+    the hot solve runs through the assembled TPU fast path instead of
+    re-evaluating nested matrix-free gathers every Krylov iteration.
+    Vectorized over the Ka·Kb slot product (no Python per-row loops);
+    duplicates merged by ``COO.to_csr``.
+    """
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
+    ad, ac = np.asarray(a.data), np.asarray(a.cols)
+    bd, bc = np.asarray(b.data), np.asarray(b.cols)
+    n, Ka = ad.shape
+    Kb = bd.shape[1]
+    rows = np.broadcast_to(np.arange(n)[:, None, None], (n, Ka, Kb))
+    mid_d = ad[:, :, None]  # (n, Ka, 1)
+    cols = bc[ac]  # (n, Ka, Kb)
+    vals = mid_d * bd[ac]  # (n, Ka, Kb)
+    keep = vals != 0
+    # Keep explicit diagonal slots so downstream factorizations find one.
+    keep |= cols == rows
+    coo = COO(
+        data=jnp.asarray(vals[keep]),
+        rows=jnp.asarray(rows[keep].astype(np.int32)),
+        cols=jnp.asarray(cols[keep].astype(np.int32)),
+        shape=(a.shape[0], b.shape[1]),
+    )
+    return coo.to_csr()
+
+
+def ell_add(terms, shape) -> CSR:
+    """Host-side linear combination Σ cᵢ·Aᵢ of ELL/CSR operands →  CSR.
+
+    ``terms``: iterable of (coeff, operator|None); ``None`` stands for the
+    identity.
+    """
+    datas, rows_l, cols_l = [], [], []
+    n = shape[0]
+    for coeff, op in terms:
+        if op is None:
+            datas.append(np.full(n, float(coeff)))
+            rows_l.append(np.arange(n))
+            cols_l.append(np.arange(n))
+            continue
+        if isinstance(op, CSR):
+            d = np.asarray(op.data) * coeff
+            r = np.repeat(np.arange(n), np.diff(np.asarray(op.row_ptr)))
+            c = np.asarray(op.indices)
+        else:  # ELL
+            dd, cc = np.asarray(op.data), np.asarray(op.cols)
+            rr = np.broadcast_to(np.arange(n)[:, None], cc.shape)
+            keep = (dd != 0) | (cc == rr)
+            d, r, c = dd[keep] * coeff, rr[keep], cc[keep]
+        datas.append(d), rows_l.append(r), cols_l.append(c)
+    coo = COO(
+        data=jnp.asarray(np.concatenate(datas)),
+        rows=jnp.asarray(np.concatenate(rows_l).astype(np.int32)),
+        cols=jnp.asarray(np.concatenate(cols_l).astype(np.int32)),
+        shape=shape,
+    )
+    return coo.to_csr()

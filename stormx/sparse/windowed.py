@@ -224,10 +224,12 @@ def _build(data, cols, shape, R, mode, *, max_dense_bytes: int = 2**31):
 
 
 def sell_from_csr(
-    csr, *, block_rows: int = 128, mode: str = "dense", reorder: bool = True
+    csr, *, block_rows: int = 128, mode: str = "dense", reorder: bool = True,
+    coords=None,
 ):
-    """CSR → (SlicedELL, perm): RCM-reorder (bandwidth-minimizing, so the
-    uniform windows stay narrow), then slice into row blocks.
+    """CSR → (SlicedELL, perm): bandwidth-minimizing reorder (RCM, or the
+    best of RCM and coordinate sorts when entity ``coords`` are given —
+    window cost scales with the total band), then slice into row blocks.
 
     ``perm[new] = old``; solve in permuted space (``b_p = b[perm]``) and map
     back with ``x = x_p[inv]`` where ``inv[perm] = arange(n)`` — identical
@@ -240,10 +242,10 @@ def sell_from_csr(
     indices = np.asarray(csr.indices)
     data = np.asarray(csr.data)
     if reorder:
-        from stormx.parallel import rcm_order
+        from stormx.parallel.partition import bandwidth_order
 
         rows = np.repeat(np.arange(n), np.diff(row_ptr))
-        perm = rcm_order(n, rows, indices.astype(np.int64))
+        perm = bandwidth_order(n, rows, indices.astype(np.int64), coords)
         inv = np.empty(n, dtype=np.int64)
         inv[perm] = np.arange(n)
         new_rows = inv[rows]
@@ -269,7 +271,7 @@ def sell_from_csr(
 
 def auto_operator(
     csr, *, reorder: bool = True, max_diags: int = 64,
-    block_rows: int | None = None, mode: str = "auto",
+    block_rows: int | None = None, mode: str = "auto", coords=None,
 ):
     """Pick the TPU fast path for a sparse operator → (operator, perm).
 
@@ -289,7 +291,7 @@ def auto_operator(
     when even the windows span the whole vector, to the plain ELL gather
     oracle (~0.14 Gnnz/s) — slow but never pathological in memory.
     """
-    from stormx.parallel import rcm_order
+    from stormx.parallel.partition import bandwidth_order
     from stormx.sparse.formats import CSR, dia_from_csr
 
     n = csr.shape[0]
@@ -298,7 +300,7 @@ def auto_operator(
     data = np.asarray(csr.data)
     rows = np.repeat(np.arange(n), np.diff(row_ptr))
     if reorder:
-        perm = rcm_order(n, rows, indices.astype(np.int64))
+        perm = bandwidth_order(n, rows, indices.astype(np.int64), coords)
     else:
         perm = np.arange(n, dtype=np.int64)
     inv = np.empty(n, dtype=np.int64)

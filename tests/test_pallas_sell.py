@@ -46,20 +46,6 @@ class TestPallasSell:
         rel = np.abs(y_pal - y_oracle).max() / np.abs(y_oracle).max()
         assert rel < 1e-5
 
-    def test_grouped_kernel_matches(self):
-        # Experimental grouped path (G blocks per grid step), interpret mode.
-        mesh = structured_tri_rect(40, 32)
-        csr = f32_csr(mesh)
-        sell, _ = sell_from_csr(csr, mode="pallas", block_rows=128)
-        n = csr.shape[0]
-        x = jnp.asarray(
-            np.random.default_rng(2).standard_normal(n).astype(np.float32)
-        )
-        y1 = np.asarray(sell_matvec_pallas(sell, x, groups=1, interpret=True))
-        y8 = np.asarray(sell_matvec_pallas(sell, x, groups=8, interpret=True))
-        rel = np.abs(y8 - y1).max() / np.abs(y1).max()
-        assert rel < 1e-6
-
     def test_mode_dispatch_through_matvec(self):
         mesh = structured_tri_rect(16, 16)
         csr = f32_csr(mesh)
@@ -94,3 +80,27 @@ class TestPallasSell:
 
         if isinstance(op, SlicedELL):
             assert op.mode == "dense"
+
+    def test_coords_ordering_shrinks_window(self):
+        # bandwidth_order picks the best of RCM and coordinate sorts; on
+        # the long-thin structured strip the x-sort must win or tie, and
+        # the matvec must still match the oracle.
+        from stormx.mesh.structured import structured_tri_rect
+
+        mesh = structured_tri_rect(96, 8)  # long in x
+        csr = f32_csr(mesh)
+        s_rcm, _ = sell_from_csr(csr, mode="dense")
+        s_xy, perm = sell_from_csr(
+            csr, mode="dense", coords=np.asarray(mesh.cell_centers)
+        )
+        assert s_xy.window <= s_rcm.window
+        n = csr.shape[0]
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        x = np.random.default_rng(5).standard_normal(n).astype(np.float32)
+        ell = ell_from_csr(csr)
+        y_oracle = np.asarray(ell.matvec(jnp.asarray(x)))
+        y = np.asarray(s_xy.matvec(jnp.asarray(x[perm])))[inv]
+        np.testing.assert_allclose(
+            y, y_oracle, atol=2e-6 * np.abs(y_oracle).max()
+        )
