@@ -1,0 +1,84 @@
+"""Explicit compressible-Euler march on the step mesh (TPU, f32):
+XLA gathers vs the Pallas banded-gather fast path, both orders.
+
+Per-step cost is a handful of face/cell gathers + VPU flux math, chained
+inside one jit (lax.fori_loop) — slope protocol, fresh inputs per run.
+
+Usage: timeout 560 python scripts/perf_euler_march.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    import jax.numpy as jnp
+    from jax import lax
+
+    from stormx.apps.euler import initial_state
+    from stormx.fvm.bc import far_field_bc, slip_bc
+    from stormx.fvm.solver import FvSolver
+    from stormx.mesh import read_tetgen
+
+    mesh = read_tetgen("/root/reference/tests/_data/mesh/step.1.").optimize_for_tpu()
+    rng = np.random.default_rng(0)
+    n = mesh.num_cells
+
+    orders = (int(sys.argv[1]),) if len(sys.argv) > 1 else (1, 2)
+    bgs = (sys.argv[2] == "bg",) if len(sys.argv) > 2 else (False, True)
+    for order in orders:
+        for bg in bgs:
+            dm = mesh.device_arrays(dtype=jnp.float32, banded_gather=bg)
+            bcs = {
+                L: (far_field_bc if L % 2 else slip_bc)
+                for L in range(1, len(dm.face_label_ranges) - 1)
+            }
+            solver = FvSolver(dm, bcs=bcs, order=order)
+            dt = jnp.float32(1e-5)
+
+            def chain(reps):
+                def body(_, u):
+                    return solver.step(u, dt)
+
+                return jax.jit(lambda u0: lax.fori_loop(0, reps, body, u0))
+
+            def fresh():
+                u0 = np.asarray(initial_state(n, dtype=jnp.float32))
+                pert = (1.0 + 0.001 * rng.random(u0.shape)).astype(np.float32)
+                return jnp.asarray(u0 * pert)
+
+            times = {}
+            for reps in (20, 80):
+                c = chain(reps)
+                uw = fresh()
+                uw.block_until_ready()
+                c(uw).block_until_ready()
+                best = np.inf
+                for _ in range(3):
+                    ut = fresh()
+                    ut.block_until_ready()
+                    t0 = time.perf_counter()
+                    c(ut).block_until_ready()
+                    best = min(best, time.perf_counter() - t0)
+                times[reps] = best
+            s = (times[80] - times[20]) / 60.0
+            print(
+                f"order={order} banded_gather={bg!s:5s} "
+                f"{s * 1e3:9.3f} ms/step",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,9 +26,21 @@ __all__ = ["upwind_convection", "linear_upwind_convection"]
 def _accumulate(dmesh, face_flux):
     """div_f[c] = Σ_f sign·(area_f/vol_c)·flux_f via the gather table."""
     af = face_flux * dmesh.face_areas[:, None]  # (num_faces, nv)
-    g = af[dmesh.cell_face_ell]  # (n, K, nv)
+    if getattr(dmesh, "bg_cell_face", None) is not None:
+        K = dmesh.cell_face_ell.shape[1]
+        g = dmesh.bg_cell_face(af).reshape(dmesh.num_cells, K, af.shape[1])
+    else:
+        g = af[dmesh.cell_face_ell]  # (n, K, nv)
     acc = jnp.sum(dmesh.cell_face_sign[..., None] * g, axis=1)
     return acc / dmesh.cell_volumes[:, None]
+
+
+def _face_states(dmesh, u):
+    """(u[face_inner], u[face_outer clamped]) via the fast gathers when
+    available (bit-exact)."""
+    if getattr(dmesh, "bg_face_inner", None) is not None:
+        return dmesh.bg_face_inner(u), dmesh.bg_face_outer(u)
+    return u[dmesh.face_inner], u[jnp.maximum(dmesh.face_outer, 0)]
 
 
 def _boundary_ghosts(dmesh, u_face_inner, bcs):
@@ -75,8 +87,7 @@ def upwind_convection(dmesh, u, bcs, flux_scheme=lax_friedrichs_flux):
     Returns div_f (num_cells, nv).
     """
     n_int = dmesh.face_label_ranges[1]  # interior faces sorted first
-    u_inner = u[dmesh.face_inner]  # (num_faces, nv)
-    u_out_raw = u[jnp.maximum(dmesh.face_outer, 0)]
+    u_inner, u_out_raw = _face_states(dmesh, u)  # (num_faces, nv)
     ghosts = _boundary_ghosts(dmesh, u_inner, bcs)
     u_outer = jnp.concatenate([u_out_raw[:n_int], ghosts[n_int:]])
     flux = flux_scheme(dmesh.face_normals, u_outer, u_inner)
@@ -107,13 +118,25 @@ def linear_upwind_convection(
     grad_u = grad_u * lim_u[..., None]  # :146-148
 
     # Face reconstruction u ± ∇u·dr (:161-169).
-    dr_inner = dmesh.face_centers - dmesh.cell_centers[dmesh.face_inner]
-    outer_idx = jnp.maximum(dmesh.face_outer, 0)
-    dr_outer = dmesh.face_centers - dmesh.cell_centers[outer_idx]
-    u_inner = u[dmesh.face_inner] + jnp.einsum(
-        "fvd,fd->fv", grad_u[dmesh.face_inner], dr_inner
-    )
-    u_outer = u[outer_idx] + jnp.einsum("fvd,fd->fv", grad_u[outer_idx], dr_outer)
+    if getattr(dmesh, "bg_face_inner", None) is not None:
+        cc_inner = dmesh.bg_face_inner(dmesh.cell_centers)
+        cc_outer = dmesh.bg_face_outer(dmesh.cell_centers)
+        gi = dmesh.bg_face_inner(grad_u.reshape(dmesh.num_cells, -1))
+        go = dmesh.bg_face_outer(grad_u.reshape(dmesh.num_cells, -1))
+        grad_i = gi.reshape((-1,) + grad_u.shape[1:])
+        grad_o = go.reshape((-1,) + grad_u.shape[1:])
+        ui0, uo0 = _face_states(dmesh, u)
+    else:
+        outer_idx = jnp.maximum(dmesh.face_outer, 0)
+        cc_inner = dmesh.cell_centers[dmesh.face_inner]
+        cc_outer = dmesh.cell_centers[outer_idx]
+        grad_i = grad_u[dmesh.face_inner]
+        grad_o = grad_u[outer_idx]
+        ui0, uo0 = u[dmesh.face_inner], u[outer_idx]
+    dr_inner = dmesh.face_centers - cc_inner
+    dr_outer = dmesh.face_centers - cc_outer
+    u_inner = ui0 + jnp.einsum("fvd,fd->fv", grad_i, dr_inner)
+    u_outer = uo0 + jnp.einsum("fvd,fd->fv", grad_o, dr_outer)
 
     # Boundary ghosts from the *reconstructed* inner state (:177-189).
     n_int = dmesh.face_label_ranges[1]

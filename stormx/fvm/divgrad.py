@@ -42,13 +42,25 @@ def div_grad(dmesh, u, dt, c):
     ``u``/``c`` are cell fields ``(num_cells,)`` or ``(num_cells, nv)``.
     """
     coef = face_flux_coefficients(dmesh)  # (num_faces,)
-    c_inner = c[dmesh.face_inner]
-    c_outer = c[jnp.maximum(dmesh.face_outer, 0)]  # clamp; coef=0 on boundary
+    if getattr(dmesh, "bg_face_inner", None) is not None:
+        # Pallas banded gathers (bit-exact; boundary outer→inner clamp is
+        # equivalent to the 0-clamp since coef = 0 there).
+        c_inner = dmesh.bg_face_inner(c)
+        c_outer = dmesh.bg_face_outer(c)
+    else:
+        c_inner = c[dmesh.face_inner]
+        c_outer = c[jnp.maximum(dmesh.face_outer, 0)]  # clamp; coef=0 on bdry
     diff = c_outer - c_inner
     flux = dt * coef[..., None] * diff if c.ndim == 2 else dt * coef * diff
 
     # Gather-accumulate: Σ_k sign·flux[face_k] / volume.
-    g = flux[dmesh.cell_face_ell]  # (num_cells, K[, nv])
+    if getattr(dmesh, "bg_cell_face", None) is not None:
+        K = dmesh.cell_face_ell.shape[1]
+        g = dmesh.bg_cell_face(flux).reshape(
+            (dmesh.num_cells, K) + flux.shape[1:]
+        )
+    else:
+        g = flux[dmesh.cell_face_ell]  # (num_cells, K[, nv])
     sgn = dmesh.cell_face_sign
     vol = dmesh.cell_volumes
     if c.ndim == 2:

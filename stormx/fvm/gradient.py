@@ -41,15 +41,25 @@ def lsq_gradient_matrices(dmesh):
     )
 
 
+def gather_adjacent(dmesh, v):
+    """v[cell_adj_ell] via the Pallas banded gather when present
+    (bit-exact); v is (n,) or (n, c)."""
+    adj = dmesh.cell_adj_ell
+    if getattr(dmesh, "bg_cell_adj", None) is not None:
+        return dmesh.bg_cell_adj(v).reshape(
+            (dmesh.num_cells, adj.shape[1]) + v.shape[1:]
+        )
+    return v[adj]
+
+
 def lsq_gradients(dmesh, u, g_mats=None):
     """∇u per cell: (num_cells, dim) or (num_cells, nv, dim)
     (GradientScheme.hpp:64-84)."""
     if g_mats is None:
         g_mats = lsq_gradient_matrices(dmesh)
     centers = dmesh.cell_centers
-    adj = dmesh.cell_adj_ell
-    dr = centers[adj] - centers[:, None, :]  # (n, K, dim)
-    du = u[adj] - u[:, None]  # (n, K) or (n, K, nv)
+    dr = gather_adjacent(dmesh, centers) - centers[:, None, :]  # (n, K, dim)
+    du = gather_adjacent(dmesh, u) - u[:, None]  # (n, K) or (n, K, nv)
     if u.ndim == 2:
         rhs = jnp.einsum("nkv,nkd->nvd", du, dr)
         return jnp.einsum("nij,nvj->nvi", g_mats, rhs)

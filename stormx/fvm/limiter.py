@@ -92,8 +92,9 @@ def compute_limiters(
         u = u[:, None]
         grad_u = grad_u[:, None, :]
 
-    adj = dmesh.cell_adj_ell  # (n, K) padded with self
-    u_adj = u[adj]  # (n, K, nv)
+    from stormx.fvm.gradient import gather_adjacent
+
+    u_adj = gather_adjacent(dmesh, u)  # (n, K, nv)
     du_min = jnp.minimum(0.0, jnp.min(u_adj, axis=1) - u)  # (n, nv)
     du_max = jnp.maximum(0.0, jnp.max(u_adj, axis=1) - u)
 
@@ -103,7 +104,13 @@ def compute_limiters(
 
     faces = dmesh.cell_face_ell  # (n, K) all incident faces
     mask = dmesh.cell_face_sign != 0
-    dr = dmesh.face_centers[faces] - dmesh.cell_centers[:, None, :]  # (n, K, d)
+    if getattr(dmesh, "bg_cell_face", None) is not None:
+        fc = dmesh.bg_cell_face(dmesh.face_centers).reshape(
+            dmesh.num_cells, faces.shape[1], -1
+        )
+    else:
+        fc = dmesh.face_centers[faces]
+    dr = fc - dmesh.cell_centers[:, None, :]  # (n, K, d)
     du_face = jnp.einsum("nvd,nfd->nfv", grad_u, dr)  # (n, Kf, nv)
     lim_face = slope_limiter(
         du_min[:, None, :], du_max[:, None, :], du_face, eps_sqr[:, None, :]

@@ -171,3 +171,28 @@ class BandedGatherPlan:
         if self.fix_pos.size:
             y = y.at[self.fix_pos].set(x[self.fix_idx])
         return y
+
+
+def _register_plan():
+    """Pytree registration so plans ride inside DeviceMesh / jit closures."""
+    data = ("starts", "lidx", "fix_pos", "fix_idx")
+    meta = ("m", "n_src", "R", "window", "sub", "n_chunks", "src_rows")
+
+    def flatten(p):
+        return (
+            tuple(getattr(p, f) for f in data),
+            tuple(getattr(p, f) for f in meta),
+        )
+
+    def unflatten(meta_vals, data_vals):
+        p = object.__new__(BandedGatherPlan)
+        for f, v in zip(data, data_vals):
+            object.__setattr__(p, f, v)
+        for f, v in zip(meta, meta_vals):
+            object.__setattr__(p, f, v)
+        return p
+
+    jax.tree_util.register_pytree_node(BandedGatherPlan, flatten, unflatten)
+
+
+_register_plan()
