@@ -165,20 +165,37 @@ class TestConfig2ConvectionDiffusion:
             options=opts,
         )
         assert bool(serial.converged)
-        dist = sharded_solve(
-            partition_csr(ell.to_csr(), 8),
-            rhs,
-            mesh=make_device_mesh(8),
-            method="bicgstab",
-            precond_diag=diag,
-            options=opts,
-        )
-        assert bool(dist.converged)
-        np.testing.assert_allclose(
-            np.asarray(dist.x), np.asarray(serial.x), atol=1e-9
-        )
-        r = np.asarray(ell.matvec(jnp.asarray(np.asarray(dist.x)))) - rhs
-        assert np.linalg.norm(r) <= 2e-8 * np.linalg.norm(rhs)
+        results = {}
+        for parts in (1, 8):
+            results[parts] = sharded_solve(
+                partition_csr(ell.to_csr(), parts),
+                rhs,
+                mesh=make_device_mesh(parts),
+                method="bicgstab",
+                precond_diag=diag,
+                options=opts,
+            )
+        assert all(bool(r.converged) for r in results.values())
+        # The honest BiCGStab partition-invariance oracle (see
+        # test_partition_invariant_histories above): psum changes dot-product
+        # summation GROUPING, and BiCGStab's irregular recurrence amplifies
+        # that exponentially with iteration count — pointwise x-agreement at
+        # 1e-9 abs is tighter than the algorithm's own documented behavior.
+        # Gate on (a) tight EARLY histories, (b) stop iterations in a
+        # relative band (at ~670 iterations the grouping perturbation has
+        # long since amplified to O(1) — measured drift P=1 vs P=8 is ~4%;
+        # exact stop-iteration equality is only meaningful at small scale),
+        # (c) every solution meeting the TRUE residual tolerance.
+        k1, k8 = int(results[1].num_iterations), int(results[8].num_iterations)
+        assert abs(k1 - k8) <= 0.15 * max(k1, k8)
+        h1 = np.asarray(results[1].history)
+        h8 = np.asarray(results[8].history)
+        rel = np.abs(h8[:20] - h1[:20]) / h1[:20]
+        assert np.nanmax(rel) < 1e-9
+        bnorm = np.linalg.norm(rhs)
+        for r in (serial, *results.values()):
+            true_r = np.asarray(ell.matvec(jnp.asarray(np.asarray(r.x)))) - rhs
+            assert np.linalg.norm(true_r) <= 2e-8 * bnorm
 
 
 def _smooth_euler_state(mesh):
@@ -195,9 +212,9 @@ def _smooth_euler_state(mesh):
 
 
 class TestConfig4JfnkImplicitFvm:
-    def _run(self, mesh, dt):
+    def _run(self, mesh, dt, bcs={1: slip_bc}):
         dmesh = mesh.device_arrays()
-        solver = FvSolver(dmesh, order=2, bcs={1: slip_bc})
+        solver = FvSolver(dmesh, order=2, bcs=bcs)
         u0 = _smooth_euler_state(mesh)
         res = solver.implicit_step(u0, dt)
         return solver, u0, res
@@ -241,10 +258,13 @@ class TestConfig4JfnkImplicitFvm:
 
     @pytest.mark.slow
     def test_jfnk_reference_scale_step_mesh(self):
-        # Config #4 at the reference's own 79,672-cell scale.
+        # Config #4 at the reference's own 79,672-cell scale.  The step mesh
+        # has boundary labels {1, 2}; wire BCs exactly as the reference does
+        # (``SkunkFvSolver.hpp:73-74``: label 1 → FarField, label 2 → Slip)
+        # — FvSolver's default bcs=None is that same map.
         mesh = read_tetgen(STEP_PREFIX)
         dt = 5e-4
-        solver, u0, res = self._run(mesh, dt)
+        solver, u0, res = self._run(mesh, dt, bcs=None)
         assert bool(res.converged)
         u1 = res.x
         F = np.asarray(u1 + dt * solver.calc_func(u1) - u0)
