@@ -30,6 +30,7 @@ __all__ = [
     "IcPreconditioner",
     "ilu0_factorize",
     "ic0_factorize",
+    "ic0_factorize_csr",
 ]
 
 
@@ -45,27 +46,24 @@ def _csr_host(csr):
 
 
 def _split_triangles(row_ptr, cols, vals, n):
-    """(lower incl. diag, upper incl. diag, diag) as CSR lists per row."""
-    lo_c, lo_v, up_c, up_v = [], [], [], []
+    """(lower incl. diag, upper incl. diag, diag) as CSR triples.
+
+    Vectorized: boolean masks preserve CSR storage order within each row
+    (identical to the per-row append loop this replaces)."""
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(row_ptr))
+    cols = np.asarray(cols, dtype=np.int64)
+    lm = cols <= rows
+    um = cols >= rows
     lo_ptr = np.zeros(n + 1, dtype=np.int64)
+    lo_ptr[1:] = np.cumsum(np.bincount(rows[lm], minlength=n))
     up_ptr = np.zeros(n + 1, dtype=np.int64)
+    up_ptr[1:] = np.cumsum(np.bincount(rows[um], minlength=n))
     diag = np.zeros(n, dtype=vals.dtype)
-    for i in range(n):
-        for k in range(row_ptr[i], row_ptr[i + 1]):
-            j = int(cols[k])
-            if j <= i:
-                lo_c.append(j)
-                lo_v.append(vals[k])
-            if j >= i:
-                up_c.append(j)
-                up_v.append(vals[k])
-            if j == i:
-                diag[i] = vals[k]
-        lo_ptr[i + 1] = len(lo_c)
-        up_ptr[i + 1] = len(up_c)
+    dm = cols == rows
+    diag[rows[dm]] = vals[dm]
     return (
-        (lo_ptr, np.array(lo_c, dtype=np.int32), np.array(lo_v, dtype=vals.dtype)),
-        (up_ptr, np.array(up_c, dtype=np.int32), np.array(up_v, dtype=vals.dtype)),
+        (lo_ptr, cols[lm].astype(np.int32), vals[lm]),
+        (up_ptr, cols[um].astype(np.int32), vals[um]),
         diag,
     )
 
@@ -115,9 +113,24 @@ class SgsPreconditioner(_TwoSolvePreconditioner):
 def ilu0_factorize(row_ptr, cols, vals, n):
     """ILU(0): LU restricted to the sparsity pattern of A (IKJ form).
 
-    Returns (lu_vals,) aliasing the CSR pattern: strictly-lower entries hold
+    Returns lu_vals aliasing the CSR pattern: strictly-lower entries hold
     L (unit diagonal implied), diagonal + upper hold U.
+
+    Dispatches to the native host runtime (``hostrt.cpp:stormx_ilu0`` —
+    bit-identical operation order, regression-tested) and falls back to the
+    pure-Python reference implementation when the toolchain is missing.
     """
+    from stormx._native import native_ilu0
+
+    lu = native_ilu0(row_ptr, cols, vals)
+    if lu is not None:
+        return lu
+    return _ilu0_factorize_py(row_ptr, cols, vals, n)
+
+
+def _ilu0_factorize_py(row_ptr, cols, vals, n):
+    """Pure-Python ILU(0) — the reference implementation the native routine
+    is regression-tested against."""
     lu = np.array(vals, dtype=np.float64, copy=True)
     # Per-row column→slot lookup for O(1) pattern hits.
     slot = [
@@ -172,9 +185,40 @@ def _row_of(row_ptr, nnz):
     return rows
 
 
+def ic0_factorize_csr(row_ptr, cols, vals, n):
+    """IC(0) factor L (A ≈ L·Lᵀ) as a CSR triple (lo_ptr, lo_cols, lo_vals)
+    with ascending columns per row (diagonal last).
+
+    Dispatches to the native host runtime (``hostrt.cpp:stormx_ic0`` —
+    bit-identical accumulation order, regression-tested) with a pure-Python
+    fallback via :func:`ic0_factorize`.  The lower-pattern extraction is
+    vectorized NumPy either way.
+    """
+    from stormx._native import native_ic0
+
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(row_ptr))
+    cols = np.asarray(cols, dtype=np.int64)
+    lm = cols <= rows
+    lr, lc, lv = rows[lm], cols[lm], np.asarray(vals)[lm]
+    order = np.lexsort((lc, lr))
+    lr, lc, lv = lr[order], lc[order], lv[order]
+    lo_ptr = np.zeros(n + 1, dtype=np.int64)
+    lo_ptr[1:] = np.cumsum(np.bincount(lr, minlength=n))
+    out = native_ic0(lo_ptr, lc, lv.astype(np.float64))
+    if out is not None:
+        return lo_ptr, lc.astype(np.int32), out
+    l_cols, l_vals = ic0_factorize(row_ptr, cols, vals, n)
+    # The Python builder appends ascending (diag last) already.
+    flat_c = np.concatenate([np.asarray(c, dtype=np.int32) for c in l_cols])
+    flat_v = np.concatenate([np.asarray(v, dtype=np.float64) for v in l_vals])
+    return lo_ptr, flat_c, flat_v
+
+
 def ic0_factorize(row_ptr, cols, vals, n):
     """IC(0): lower-triangular L with lower(A)'s pattern, A ≈ L·Lᵀ.
 
+    Pure-Python reference implementation (the native routine in
+    :func:`ic0_factorize_csr` is regression-tested against it).
     Returns per-row (cols, vals) lists of L including the diagonal.
     """
     l_cols = [[] for _ in range(n)]
@@ -206,7 +250,14 @@ def ic0_factorize(row_ptr, cols, vals, n):
             l_slot[i][j] = len(l_cols[i])
             l_cols[i].append(j)
             l_vals[i].append(lij)
-        s = aii - sum(v * v for v in l_vals[i])
+        # Sequential accumulation, NOT builtin sum() — CPython ≥3.12 sum()
+        # is Neumaier-compensated, which would differ from the native
+        # routine (hostrt.cpp:stormx_ic0) by 1 ulp.  Sequential order is
+        # the shared spec both implementations follow bit-for-bit.
+        sq = 0.0
+        for v in l_vals[i]:
+            sq += v * v
+        s = aii - sq
         if s <= 0:
             raise ValueError(
                 f"IC(0) breakdown at row {i}: non-positive pivot {s:g} "
@@ -226,18 +277,8 @@ class IcPreconditioner(_TwoSolvePreconditioner):
     def __init__(self, matrix, *, sweeps: int | None = None):
         super().__init__(sweeps=sweeps)
         row_ptr, cols, vals, n = _csr_host(matrix)
-        l_cols, l_vals, = ic0_factorize(row_ptr, cols, vals, n)
-        dtype = vals.dtype
-        # L in CSR (lower, incl. diag).
-        lo_ptr = np.zeros(n + 1, dtype=np.int64)
-        lo_c, lo_v = [], []
-        for i in range(n):
-            order = np.argsort(l_cols[i])
-            lo_c.extend(np.asarray(l_cols[i])[order])
-            lo_v.extend(np.asarray(l_vals[i])[order])
-            lo_ptr[i + 1] = len(lo_c)
-        lo_c = np.asarray(lo_c, dtype=np.int32)
-        lo_v = np.asarray(lo_v, dtype=dtype)
+        lo_ptr, lo_c, lo_v = ic0_factorize_csr(row_ptr, cols, vals, n)
+        lo_v = lo_v.astype(vals.dtype)
         # Lᵀ in CSR = upper triangle: transpose host-side.
         rows = _row_of(lo_ptr, len(lo_c))
         order = np.lexsort((rows, lo_c))  # sort by (col, row) → CSR of Lᵀ
