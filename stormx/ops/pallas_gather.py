@@ -99,6 +99,11 @@ class BandedGatherPlan:
     ``x[idx]``.
     """
 
+    MAX_CHUNKS = 64  # beyond this the per-chunk window refs blow up the
+    # trace/compile (each chunk is its own BlockSpec input — a C=40960
+    # fallback would mean 320 refs); wider-than-budget maps run as a plain
+    # XLA gather instead (round-3 advisor finding).
+
     def __init__(self, idx, n_src: int, *, block_rows: int = 512,
                  fixup_frac: float = 0.01):
         idx = np.asarray(idx, dtype=np.int64)
@@ -137,6 +142,15 @@ class BandedGatherPlan:
             if n_out <= fixup_frac * max(m, 1):
                 C = c
                 break
+        # Chunk-count cap: a map too wide for the budget degrades to the
+        # plain XLA gather (self.xla_fallback) instead of building a
+        # pathological kernel with C/128 window refs.
+        self.xla_fallback = C // 128 > self.MAX_CHUNKS
+        self.full_idx = None
+        if self.xla_fallback:
+            self.full_idx = jnp.asarray(idx.astype(np.int32))
+            C = 128  # keep the (unused) kernel metadata tiny & valid
+            start128 = np.zeros(nb, dtype=np.int64)
         start128 = np.maximum(center - C // 2, 0) // 128 * 128
         # Clamp so start + C stays inside the padded source.
         src_rows = -(-n_src // 128) + C // 128
@@ -159,6 +173,8 @@ class BandedGatherPlan:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         x = jnp.asarray(x)
+        if self.xla_fallback:
+            return x[self.full_idx]
         if x.ndim == 2:
             cols = [self(x[:, j], interpret=interpret) for j in range(x.shape[1])]
             return jnp.stack(cols, axis=1)
@@ -175,8 +191,9 @@ class BandedGatherPlan:
 
 def _register_plan():
     """Pytree registration so plans ride inside DeviceMesh / jit closures."""
-    data = ("starts", "lidx", "fix_pos", "fix_idx")
-    meta = ("m", "n_src", "R", "window", "sub", "n_chunks", "src_rows")
+    data = ("starts", "lidx", "fix_pos", "fix_idx", "full_idx")
+    meta = ("m", "n_src", "R", "window", "sub", "n_chunks", "src_rows",
+            "xla_fallback")
 
     def flatten(p):
         return (

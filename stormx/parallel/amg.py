@@ -19,9 +19,13 @@ Structure per apply (one symmetric V-cycle):
   Jacobi smoother) — CG-safe on SPD operators.
 
 Partition invariance: everything except the restriction psum (and the
-outer solve's dots) is bit-exact per shard; the psum only regroups
-summation, so CG histories agree across P to fp64 rounding (~1e-13), the
-same contract every other sharded CG path carries.
+outer solve's dots) is bit-exact per shard.  Unlike plain sharded CG
+(whose dot-psum regrouping leaves fp64 histories matching to ~1e-13), the
+restriction psum perturbs the PRECONDITIONER itself, and that perturbation
+feeds back through the search directions — measured histories agree across
+P to ~1e-7 relative (the tested contract; see tests/test_distributed_amg
+and CLAUDE.md).  That looseness is inherent to replicated-coarse AMG, not
+a bug to tighten.
 """
 
 from __future__ import annotations

@@ -29,6 +29,24 @@ __all__ = ["make_device_mesh", "sharded_solve", "sharded_matvec"]
 AXIS = "parts"
 
 
+def _instance_key(obj):
+    """Solve-cache key for a preconditioner/AMG instance: identity PLUS the
+    scalar configuration so mutating e.g. ``omega`` or ``num_sweeps``
+    between solves re-traces instead of silently reusing a program with the
+    old constants baked in (round-3 advisor finding).  Array attributes key
+    by id — jax arrays are immutable, and replacing one changes the id."""
+    if obj is None:
+        return None
+    scalars = tuple(
+        sorted(
+            (k, v if isinstance(v, (int, float, str, bool, type(None))) else id(v))
+            for k, v in vars(obj).items()
+            if not k.startswith("_")
+        )
+    )
+    return (id(obj), scalars)
+
+
 def make_device_mesh(num_parts: int | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     num_parts = num_parts or len(devices)
@@ -160,8 +178,8 @@ def sharded_solve(
     )
     cache_key = (
         mesh, method.lower(), opts, extra_keys, overlap, ras, kw_key,
-        None if precond is None else id(precond),
-        None if amg is None else id(amg),
+        _instance_key(precond),
+        _instance_key(amg),
     )
     cache = pop.__dict__.get("_solve_cache")
     if cache is None:

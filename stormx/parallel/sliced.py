@@ -191,6 +191,22 @@ def partition_sliced(
         )
     if block_rows is None:
         block_rows = 512 if mode == "pallas" else 128
+    if mode == "pallas":
+        # Validate the kernel contract NOW with a descriptive error rather
+        # than an opaque reshape/Mosaic failure inside the shard_map trace
+        # (round-3 advisor finding).
+        if block_rows % 128:
+            raise ValueError(
+                f"mode='pallas' needs block_rows % 128 == 0 (got {block_rows});"
+                " pass block_rows=None for the measured default, or use"
+                " mode='dense'"
+            )
+        if np.asarray(csr.data).dtype != np.float32:
+            raise ValueError(
+                "mode='pallas' needs float32 operator data (got"
+                f" {np.asarray(csr.data).dtype}); cast the CSR to f32 or use"
+                " mode='dense'"
+            )
     sell, perm = sell_from_csr(csr, block_rows=block_rows, mode=mode)
     n = csr.shape[0]
     R, C = block_rows, sell.window

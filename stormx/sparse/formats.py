@@ -418,17 +418,29 @@ def ell_spgemm(a: ELL, b: ELL) -> CSR:
     bd, bc = np.asarray(b.data), np.asarray(b.cols)
     n, Ka = ad.shape
     Kb = bd.shape[1]
-    rows = np.broadcast_to(np.arange(n)[:, None, None], (n, Ka, Kb))
-    mid_d = ad[:, :, None]  # (n, Ka, 1)
-    cols = bc[ac]  # (n, Ka, Kb)
-    vals = mid_d * bd[ac]  # (n, Ka, Kb)
-    keep = vals != 0
-    # Keep explicit diagonal slots so downstream factorizations find one.
-    keep |= cols == rows
+    # Chunk over row blocks: the dense (rows, Ka, Kb) temporaries would be
+    # ~2.5 GB transient at the 4.2M-row headline scale (round-3 advisor
+    # finding) — bound them to ~Ka·Kb·8·CHUNK bytes instead.
+    CHUNK = 1 << 19  # 512k rows
+    out_d, out_r, out_c = [], [], []
+    for lo in range(0, n, CHUNK):
+        hi = min(lo + CHUNK, n)
+        acs = ac[lo:hi]
+        rows = np.broadcast_to(
+            np.arange(lo, hi)[:, None, None], (hi - lo, Ka, Kb)
+        )
+        cols = bc[acs]  # (chunk, Ka, Kb)
+        vals = ad[lo:hi, :, None] * bd[acs]  # (chunk, Ka, Kb)
+        keep = vals != 0
+        # Keep explicit diagonal slots so downstream factorizations find one.
+        keep |= cols == rows
+        out_d.append(vals[keep])
+        out_r.append(rows[keep].astype(np.int32))
+        out_c.append(cols[keep].astype(np.int32))
     coo = COO(
-        data=jnp.asarray(vals[keep]),
-        rows=jnp.asarray(rows[keep].astype(np.int32)),
-        cols=jnp.asarray(cols[keep].astype(np.int32)),
+        data=jnp.asarray(np.concatenate(out_d)),
+        rows=jnp.asarray(np.concatenate(out_r)),
+        cols=jnp.asarray(np.concatenate(out_c)),
         shape=(a.shape[0], b.shape[1]),
     )
     return coo.to_csr()

@@ -72,3 +72,18 @@ class TestBandedGather:
             BandedGatherPlan(np.array([10]), 10)
         with pytest.raises(ValueError):
             BandedGatherPlan(np.array([1]), 10, block_rows=100)
+
+
+def test_wide_map_falls_back_to_xla_gather():
+    """A map too wide for the chunk budget must degrade to the plain XLA
+    gather (bit-exact) instead of building a kernel with hundreds of window
+    refs (round-3 advisor finding)."""
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 100_000, 20_000)
+    plan = BandedGatherPlan(idx, 100_000, fixup_frac=0.0001)
+    assert plan.xla_fallback
+    x = rng.standard_normal(100_000).astype(np.float32)
+    assert np.array_equal(np.asarray(plan(x, interpret=True)), x[idx])
+    # 2-component arrays ride the same path
+    x2 = rng.standard_normal((100_000, 2)).astype(np.float32)
+    assert np.array_equal(np.asarray(plan(x2, interpret=True)), x2[idx])
