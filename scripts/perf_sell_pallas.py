@@ -241,6 +241,80 @@ def coords_perf():
         )
 
 
+def v2_small():
+    """Compiled correctness of the chunk-packed v2 kernel at tiny size."""
+    jax = setup()
+    import jax.numpy as jnp
+
+    from stormx.ops.pallas_sell2 import pack_sell
+
+    sell, n = build_small()
+    packed = pack_sell(sell)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    y_ref = np.asarray(sell.matvec(x))
+    y2 = np.asarray(packed.matvec(x))
+    rel = np.abs(y2 - y_ref).max() / max(np.abs(y_ref).max(), 1e-30)
+    print(f"v2 small: M={packed.idx.shape[1]} rel err {rel:.3e}")
+    assert rel < 1e-5, "MISMATCH"
+    print("v2 small: PASS")
+
+
+def v2_sweep():
+    """Chunk-packed v2 kernel: correctness at step scale + R sweep vs the
+    v1 masked-chunk kernel (slope protocol)."""
+    jax = setup()
+    import jax.numpy as jnp
+
+    from stormx.ops.pallas_sell import sell_matvec_pallas
+    from stormx.ops.pallas_sell2 import pack_sell
+
+    rng = np.random.default_rng(3)
+    for R in (512,):
+        sell, n = build_step("onehot", block_rows=R, coords=True)
+        nnz = int(np.count_nonzero(np.asarray(sell.data)))
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        y_ref = np.asarray(sell.matvec(x))
+        for mm in ("where", "mul"):
+            y1 = np.asarray(sell_matvec_pallas(sell, x, mask_mode=mm))
+            rel = np.abs(y1 - y_ref).max() / np.abs(y_ref).max()
+            assert rel < 1e-5, (R, mm, rel)
+        packed = pack_sell(sell, "matmul")
+        y2 = np.asarray(packed.matvec(x))
+        rel = np.abs(y2 - y_ref).max() / np.abs(y_ref).max()
+        assert rel < 1e-5, (R, "v2m", rel)
+        rows = {
+            "v1-where": lambda v: sell_matvec_pallas(sell, v),
+            "v1-mul  ": lambda v: sell_matvec_pallas(sell, v, mask_mode="mul"),
+            "v2-matml": packed.matvec,
+        }
+        for name, fn in rows.items():
+            times = {}
+            # Long chains: at ~30 µs/apply the 100/400-rep chains of the r3
+            # table are 3-12 ms of compute against a dispatch floor of
+            # hundreds of ms — the slope is a small difference of two large
+            # noisy numbers (observed 13-31 µs scatter).  2000/8000 reps
+            # put the Δ at ~180 ms ≫ noise.
+            for reps in (2000, 8000):
+                c = chain_fn(fn, reps)
+                xw = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+                c(xw).block_until_ready()
+                best = np.inf
+                for _ in range(3):
+                    xt = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+                    xt.block_until_ready()
+                    t0 = time.perf_counter()
+                    c(xt).block_until_ready()
+                    best = min(best, time.perf_counter() - t0)
+                times[reps] = best
+            slope = (times[8000] - times[2000]) / 6000.0
+            print(
+                f"{name} R={R:5d} C={sell.window:5d} "
+                f"slope {slope * 1e6:9.2f} us/apply  {nnz / slope / 1e9:8.2f} Gnnz/s",
+                flush=True,
+            )
+
+
 def main(stage):
     setup()
     if stage == "small":
@@ -255,6 +329,10 @@ def main(stage):
         sweep()
     elif stage == "coords":
         coords_perf()
+    elif stage == "v2small":
+        v2_small()
+    elif stage == "v2":
+        v2_sweep()
     else:
         raise SystemExit(f"unknown stage {stage}")
 

@@ -515,13 +515,27 @@ class UnstructuredMesh:
             ]
         return m.permute("face", fperm)
 
-    def device_arrays(self, dtype=None, *, banded_gather: bool = False) -> "DeviceMesh":
+    def device_arrays(
+        self, dtype=None, *, banded_gather: bool | None = None
+    ) -> "DeviceMesh":
+        """Freeze to device arrays.  ``banded_gather=None`` (default)
+        auto-enables the Pallas :class:`BandedGatherPlan` index maps on TPU
+        for f32 meshes — the measured FVM fast path (BENCH_NOTES.md);
+        pass ``False`` to opt out (e.g. to A/B the XLA gather path).  Plans
+        are bit-exact for ANY ordering; call :meth:`optimize_for_tpu` first
+        (before building fields) to narrow the windows they stream.
+        """
+        import jax
         import jax.numpy as jnp
 
         from stormx.core.config import default_real_dtype
 
         dtype = dtype or default_real_dtype()
         idt = np.int32
+        if banded_gather is None:
+            banded_gather = (
+                jax.default_backend() == "tpu" and np.dtype(dtype) == np.float32
+            )
 
         interior = self.interior_faces()
         boundary = self.boundary_faces()

@@ -61,7 +61,10 @@ def supports_pallas(sell) -> bool:
     )
 
 
-def _kernel(win_ref, vals_ref, cols_ref, out_ref, *, n_chunks: int, sub: int, K: int):
+def _kernel(
+    win_ref, vals_ref, cols_ref, out_ref, *,
+    n_chunks: int, sub: int, K: int, mask_mode: str = "where",
+):
     """One grid step = one row block of R = sub·128 rows.
 
     Mosaic's dynamic_gather lowering is 2-D only, so everything stays
@@ -82,7 +85,10 @@ def _kernel(win_ref, vals_ref, cols_ref, out_ref, *, n_chunks: int, sub: int, K:
     for c in range(n_chunks):
         src = jnp.broadcast_to(win[c : c + 1], (M, 128))
         g = jnp.take_along_axis(src, lane, axis=1, mode="promise_in_bounds")
-        acc = acc + jnp.where(chunk == c, g, jnp.zeros((), vals.dtype))
+        if mask_mode == "mul":
+            acc = acc + g * (chunk == c).astype(vals.dtype)
+        else:
+            acc = acc + jnp.where(chunk == c, g, jnp.zeros((), vals.dtype))
     prod = vals * acc
     out_ref[0] = jnp.concatenate(
         [prod[s * K : (s + 1) * K].sum(axis=0, keepdims=True) for s in range(sub)],
@@ -90,14 +96,19 @@ def _kernel(win_ref, vals_ref, cols_ref, out_ref, *, n_chunks: int, sub: int, K:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("sub", "K", "interpret"))
-def _apply(win3, vals_t, cols_t, *, sub: int, K: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("sub", "K", "interpret", "mask_mode"))
+def _apply(
+    win3, vals_t, cols_t, *,
+    sub: int, K: int, interpret: bool = False, mask_mode: str = "where",
+):
     from jax.experimental import pallas as pl
 
     nb, n_chunks, _ = win3.shape
     M = sub * K
     return pl.pallas_call(
-        functools.partial(_kernel, n_chunks=n_chunks, sub=sub, K=K),
+        functools.partial(
+            _kernel, n_chunks=n_chunks, sub=sub, K=K, mask_mode=mask_mode
+        ),
         grid=(nb,),
         out_shape=jax.ShapeDtypeStruct((nb, sub, 128), vals_t.dtype),
         in_specs=[
@@ -110,7 +121,7 @@ def _apply(win3, vals_t, cols_t, *, sub: int, K: int, interpret: bool = False):
     )(win3, vals_t, cols_t)
 
 
-def sell_matvec_pallas(sell, x, *, interpret: bool = False):
+def sell_matvec_pallas(sell, x, *, interpret: bool = False, mask_mode: str = "where"):
     """y = A·x for a :class:`stormx.sparse.windowed.SlicedELL` via the
     Pallas window-gather kernel.  Same products as ``sell.matvec``; the
     K-reduction tree may differ, so agreement is to f32 roundoff
@@ -138,5 +149,8 @@ def sell_matvec_pallas(sell, x, *, interpret: bool = False):
     vals_t = vals_t.reshape(nb, sub * K, 128)
     cols_t = sell.local_cols.reshape(nb, sub, 128, K).transpose(0, 1, 3, 2)
     cols_t = cols_t.reshape(nb, sub * K, 128)
-    y = _apply(win3, vals_t, cols_t, sub=sub, K=K, interpret=interpret)
+    y = _apply(
+        win3, vals_t, cols_t, sub=sub, K=K, interpret=interpret,
+        mask_mode=mask_mode,
+    )
     return y.reshape(-1)[: sell.shape[0]]

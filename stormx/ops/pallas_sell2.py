@@ -1,6 +1,23 @@
 """Pallas TPU kernel v2 for the SlicedELL unstructured SpMV — host-side
 chunk packing replaces the masked per-chunk gather loop.
 
+STATUS (r4, measured on v5e — see BENCH_NOTES.md): RETIRED to validated
+reference status; **the v1 kernel wins**.  Slope-protocol results on the
+step operator (R=512, coords ordering):
+
+* v1 masked-chunk loop (``pallas_sell``): **13.4 µs/apply, 23.6 Gnnz/s**
+  (the 2026-08 toolchain lowers the masked lane-gather loop ~2.4× faster
+  than r3's measurement of the same kernel — 69% of the 24 B/nnz traffic
+  roofline).
+* v2 "matmul" variant (this module): 62.4 µs — the one-hot MXU chunk
+  select + owner-masked reductions cost more than they save.
+* v2 "gather" variant: **cannot compile** — Mosaic rejects cross-vreg
+  sublane gathers ("Not implemented: Multiple source vregs along gather
+  dimension"), so ``take_along_axis(..., axis=0)`` only lowers for ≤8-row
+  sources.  Kept interpret-tested for future toolchains.
+
+Original design rationale below.
+
 The v1 kernel (:mod:`stormx.ops.pallas_sell`) emulates a flat gather from
 the block's C-value window by looping over C/128 lane-chunks, masking one
 ``tpu.dynamic_gather`` per chunk: O(nnz · C/128) vector work — measured
@@ -59,6 +76,56 @@ def supports_pallas2(sell) -> bool:
         and sell.window <= 4096
         and sell.data.dtype == jnp.float32
     )
+
+
+def _kernel3(win_ref, idx_ref, vals_ref, src_ref, out_ref, *, sub: int, K: int):
+    """3-gather variant: sublane (dim-0) dynamic_gathers replace both the
+    chunk-select matmul and the owner-masked reduction.
+
+    src_ref: (1, M, 128) int32 — row-order entry (s, k, lane) at tile row
+    s·K + k points to its packed slot row (dead/padding entries point at a
+    guaranteed-zero packed slot).
+    """
+    win = win_ref[0]  # (nc8, 128)
+    idx = idx_ref[0]  # (M, 128)
+    vals = vals_ref[0]
+    src = src_ref[0]
+    M = idx.shape[0]
+    nc8 = win.shape[0]
+    lane = jnp.bitwise_and(idx, 127)
+    chunk = jnp.bitwise_and(jnp.right_shift(idx, 7), 31)
+    win_pad = jnp.concatenate(
+        [win, jnp.zeros((M - nc8, 128), win.dtype)], axis=0
+    )
+    t1 = jnp.take_along_axis(win_pad, chunk, axis=0, mode="promise_in_bounds")
+    gx = jnp.take_along_axis(t1, lane, axis=1, mode="promise_in_bounds")
+    prod = vals * gx
+    xr = jnp.take_along_axis(prod, src, axis=0, mode="promise_in_bounds")
+    out_ref[0] = jnp.concatenate(
+        [xr[s * K : (s + 1) * K].sum(axis=0, keepdims=True) for s in range(sub)],
+        axis=0,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "K", "interpret"))
+def _apply3(win3, idx, vals, src, *, sub: int, K: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+
+    nb, nc8, _ = win3.shape
+    M = idx.shape[1]
+    return pl.pallas_call(
+        functools.partial(_kernel3, sub=sub, K=K),
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((nb, sub, 128), vals.dtype),
+        in_specs=[
+            pl.BlockSpec((1, nc8, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, M, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, M, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, M, 128), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, sub, 128), lambda b: (b, 0, 0)),
+        interpret=interpret,
+    )(win3, idx, vals, src)
 
 
 def _kernel(win_ref, idx_ref, vals_ref, out_ref, *, sub: int):
@@ -120,7 +187,7 @@ def _apply(win3, idx, vals, *, sub: int, interpret: bool = False):
     )(win3, idx, vals)
 
 
-def _pack(data: np.ndarray, local: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _pack(data: np.ndarray, local: np.ndarray):
     """(nb, R, K) ELL arrays → packed (nb, M, 128) index/value tiles.
 
     Entry (block b, row r, slot k) with value v and window-local column
@@ -154,7 +221,11 @@ def _pack(data: np.ndarray, local: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     np.maximum.at(rows_per, bc, rank + 1)
     rp2 = rows_per.reshape(nb, nc)
     off2 = np.cumsum(rp2, axis=1) - rp2  # row offset of chunk c within block
-    M = max(int(rp2.sum(axis=1).max()), 1)
+    # +1 keeps one guaranteed-all-zero row in EVERY block (row M-1): the
+    # gather variant points dead row-order entries at it; M ≥ nc keeps the
+    # in-kernel window padding concat non-negative; M ≥ sub·K fits the
+    # row-order srcrow tile.
+    M = max(int(rp2.sum(axis=1).max()) + 1, nc, sub * K)
     M = -(-M // 8) * 8
     m = off2.reshape(-1)[bc] + rank
     idx_arr = np.zeros((nb, M, 128), dtype=np.int32)
@@ -169,19 +240,32 @@ def _pack(data: np.ndarray, local: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     row_chunk = np.zeros((nb, M), dtype=np.int32)
     np.maximum.at(row_chunk, (bo, m), (c[order]).astype(np.int32))
     idx_arr = (idx_arr & ~(31 << 7)) | (row_chunk[:, :, None] << 7)
-    return idx_arr, vals_arr
+    # Row-order → packed-slot map for the gather variant: entry (b, r, k)
+    # sits at tile row (r//128)·K + k, lane r%128; dead entries point at the
+    # guaranteed-zero row M-1.
+    src_arr = np.full((nb, M, 128), M - 1, dtype=np.int32)
+    src_arr[b, owner * K + k, lane] = m[np.argsort(order, kind="stable")]
+    return idx_arr, vals_arr, src_arr
 
 
 @dataclass(frozen=True)
 class PackedSELL:
-    """Chunk-packed SlicedELL operator — the TPU unstructured fast path."""
+    """Chunk-packed SlicedELL operator — the TPU unstructured fast path.
+
+    ``variant``: "matmul" = one-hot MXU chunk select + owner-masked row
+    sums; "gather" = sublane dynamic_gathers for both the chunk select and
+    the row-order unpermute (3 gathers total, no MXU).
+    """
 
     idx: jax.Array  # (nb, M, 128) int32 packed words
     vals: jax.Array  # (nb, M, 128)
+    src: jax.Array  # (nb, M, 128) int32 row-order → packed slot rows
     shape: tuple[int, int]
     window: int  # C
     pad_lo: int
     block_rows: int  # R
+    ell_k: int  # K (row-order slots per row)
+    variant: str = "matmul"
 
     @property
     def sub(self) -> int:
@@ -209,7 +293,13 @@ class PackedSELL:
         nb = self.idx.shape[0]
         win = self._windows(x.astype(self.vals.dtype))
         win3 = win.reshape(nb, self.window // 128, 128)
-        y = _apply(win3, self.idx, self.vals, sub=self.sub, interpret=interpret)
+        if self.variant == "gather":
+            y = _apply3(
+                win3, self.idx, self.vals, self.src,
+                sub=self.sub, K=self.ell_k, interpret=interpret,
+            )
+        else:
+            y = _apply(win3, self.idx, self.vals, sub=self.sub, interpret=interpret)
         return y.reshape(-1)[: self.shape[0]]
 
     def __matmul__(self, x):
@@ -217,8 +307,8 @@ class PackedSELL:
 
 
 def _register_packed():
-    data_fields = ("idx", "vals")
-    meta_fields = ("shape", "window", "pad_lo", "block_rows")
+    data_fields = ("idx", "vals", "src")
+    meta_fields = ("shape", "window", "pad_lo", "block_rows", "ell_k", "variant")
 
     def flatten(p):
         return (
@@ -237,7 +327,7 @@ def _register_packed():
 _register_packed()
 
 
-def pack_sell(sell) -> PackedSELL:
+def pack_sell(sell, variant: str = "matmul") -> PackedSELL:
     """Repack a :class:`stormx.sparse.windowed.SlicedELL` for the v2
     kernel.  Same matvec products; the reduction tree differs from the ELL
     oracle, so agreement is to f32 roundoff (~1e-7 relative)."""
@@ -247,12 +337,17 @@ def pack_sell(sell) -> PackedSELL:
             f" window ≤ 4096; got R={sell.block_rows}, C={sell.window},"
             f" dtype={sell.data.dtype}"
         )
-    idx, vals = _pack(np.asarray(sell.data), np.asarray(sell.local_cols))
+    if variant not in ("matmul", "gather"):
+        raise ValueError(f"unknown variant {variant!r}")
+    idx, vals, src = _pack(np.asarray(sell.data), np.asarray(sell.local_cols))
     return PackedSELL(
         idx=jnp.asarray(idx),
         vals=jnp.asarray(vals),
+        src=jnp.asarray(src),
         shape=sell.shape,
         window=sell.window,
         pad_lo=sell.pad_lo,
         block_rows=sell.block_rows,
+        ell_k=sell.data.shape[-1],
+        variant=variant,
     )
