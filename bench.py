@@ -122,6 +122,14 @@ def main():
 
     from stormx.sparse import DIA
 
+    # On-chip Pallas gate (VERDICT r3 item 8): a Mosaic/toolchain regression
+    # in the production kernels fails HERE in seconds, not mid-bench.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from verify_tpu import verify_pallas_on_chip
+
+    verify_pallas_on_chip()
+    print("pallas on-chip gate: OK", file=sys.stderr, flush=True)
+
     offsets, diag_np = poisson5_diags(NX)
     n = NX * NX
     nnz = int(np.count_nonzero(diag_np))

@@ -59,7 +59,10 @@ def main():
                 return jnp.asarray(u0 * pert)
 
             times = {}
-            for reps in (20, 80):
+            # 100/400-step chains: Δ = 300 steps ≳ 150 ms even on the fast
+            # path — large against the relay dispatch floor (the r4 lesson:
+            # short chains gave 2× scatter on the SELL kernel).
+            for reps in (100, 400):
                 c = chain(reps)
                 uw = fresh()
                 uw.block_until_ready()
@@ -72,7 +75,7 @@ def main():
                     c(ut).block_until_ready()
                     best = min(best, time.perf_counter() - t0)
                 times[reps] = best
-            s = (times[80] - times[20]) / 60.0
+            s = (times[400] - times[100]) / 300.0
             print(
                 f"order={order} banded_gather={bg!s:5s} "
                 f"{s * 1e3:9.3f} ms/step",

@@ -63,8 +63,9 @@ class NsProjection:
     """
 
     def __init__(self, mesh, *, nu: float = 1e-2, num_parts: int = 1,
-                 method: str = "idrs", solver_kw: dict | None = None):
-        self.dmesh = mesh.device_arrays()
+                 method: str = "idrs", solver_kw: dict | None = None,
+                 banded_gather: bool | None = None):
+        self.dmesh = mesh.device_arrays(banded_gather=banded_gather)
         self.nu = nu
         self.method = method
         self.solver_kw = dict(solver_kw or {})

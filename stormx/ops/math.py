@@ -40,11 +40,28 @@ def safe_inverse(y):
 def sym_ortho(a, b):
     """Generate a Givens rotation ``(cs, sn, rr)``.
 
-    ``rr = hypot(a, b)``; if ``rr > 0``: ``cs = a/rr, sn = b/rr``,
-    else ``cs = 1, sn = 0`` (reference ``Crow/MathUtils.hpp:164-179``).
+    Real (reference ``Crow/MathUtils.hpp:164-179``): ``rr = hypot(a, b)``;
+    if ``rr > 0``: ``cs = a/rr, sn = b/rr``, else ``cs = 1, sn = 0``.
+
+    Complex: ``rr = sqrt(|a|² + |b|²)`` (real), same quotients — the
+    unitary rotation is then ``[[conj(cs), conj(sn)], [-sn, cs]]``
+    (consumers apply the conjugates on the first row; ``jnp.conj`` is the
+    identity for real dtypes, so the real path is bit-unchanged).  The
+    reference's own template is real-only in practice — its ``hypot`` has
+    no complex overload and ``safe_divide`` is constrained to
+    ``std::floating_point`` — so this is a documented extension, not a
+    deviation.
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)
+    if jnp.iscomplexobj(a) or jnp.iscomplexobj(b):
+        rr = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(b) ** 2)  # real
+        pos = rr > 0
+        rr_safe = jnp.where(pos, rr, jnp.ones_like(rr))
+        one = jnp.ones((), jnp.result_type(a, b))
+        cs = jnp.where(pos, a / rr_safe, one)
+        sn = jnp.where(pos, b / rr_safe, jnp.zeros_like(one))
+        return cs, sn, rr
     rr = jnp.hypot(a, b)
     pos = rr > 0
     rr_safe = jnp.where(pos, rr, jnp.ones_like(rr))

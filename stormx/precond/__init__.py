@@ -19,6 +19,7 @@ implements the full planned catalog, grouped by TPU execution style:
 """
 
 from stormx.precond.approx_inverse import AinvPreconditioner, SpaiPreconditioner
+from stormx.precond.block_amg import BlockDiaAmg
 from stormx.precond.chebyshev import ChebyshevPreconditioner
 from stormx.precond.factorized import (
     IcPreconditioner,
@@ -36,6 +37,7 @@ __all__ = [
     "BlockJacobiPreconditioner",
     "ChebyshevPreconditioner",
     "AmgPreconditioner",
+    "BlockDiaAmg",
     "SgsPreconditioner",
     "IluPreconditioner",
     "IcPreconditioner",

@@ -45,11 +45,11 @@ def bicgstab(
         if left_pre:
             r = P(r)
         r_tilde = r
-        rho = v.dot(r_tilde, r, axis_name=axis_name)
+        rho = v.dot(r, r_tilde, axis_name=axis_name)
         zeros = v.zeros_like(r)
         one = jnp.ones_like(rho)
         # state: (r, r_tilde, p, v_vec, alpha, rho, omega)
-        return (r, r_tilde, zeros, zeros, one, rho, one), jnp.sqrt(rho)
+        return (r, r_tilde, zeros, zeros, one, rho, one), jnp.sqrt(jnp.real(rho))  # <r,r> — real for complex too
 
     def iterate_fn(it, x, state):
         r, r_tilde, p, vv, alpha, rho, omega = state
@@ -59,7 +59,7 @@ def bicgstab(
             return r, rho
 
         def do_rest():
-            rho_new = v.dot(r_tilde, r, axis_name=axis_name)
+            rho_new = v.dot(r, r_tilde, axis_name=axis_name)
             beta = safe_divide(alpha * rho_new, omega * rho)
             p_new = v.xpay(r, beta, v.xpay(p, -omega, vv))
             return p_new, rho_new
@@ -76,7 +76,7 @@ def bicgstab(
         else:
             vv = A(p)
             z = p
-        alpha = safe_divide(rho, v.dot(r_tilde, vv, axis_name=axis_name))
+        alpha = safe_divide(rho, v.dot(vv, r_tilde, axis_name=axis_name))
         x = v.xpay(x, alpha, z if right_pre else p)
         r = v.xpay(r, -alpha, vv)
 
@@ -91,7 +91,7 @@ def bicgstab(
             t = A(r)
             z2 = r
         omega = safe_divide(
-            v.dot(t, r, axis_name=axis_name), v.dot(t, t, axis_name=axis_name)
+            v.dot(r, t, axis_name=axis_name), v.dot(t, t, axis_name=axis_name)
         )
         x = v.xpay(x, omega, z2 if right_pre else r)
         r = v.xpay(r, -omega, t)
@@ -133,12 +133,12 @@ def bicgstab_l(
         if P is not None:
             r0 = P(r0)
         r_tilde = r0
-        rho = dot(r_tilde, r0)
+        rho = dot(r0, r_tilde)
         R = v.set_stacked(v.stacked_zeros(r0, l + 1), 0, r0)
         U = v.stacked_zeros(r0, l + 1)
         alpha = jnp.zeros_like(rho)
         omega = jnp.zeros_like(rho)
-        return (R, U, r_tilde, alpha, rho, omega), jnp.sqrt(rho)
+        return (R, U, r_tilde, alpha, rho, omega), jnp.sqrt(jnp.real(rho))  # <r,r> — real for complex too
 
     def iterate_fn(it, x, state):
         R, U, r_tilde, alpha, rho, omega = state
@@ -153,7 +153,7 @@ def bicgstab_l(
             return U_new, rho
 
         def do_rest():
-            rho_new = dot(r_tilde, r_j)
+            rho_new = dot(r_j, r_tilde)
             beta = safe_divide(alpha * rho_new, rho)
             # uᵢ ← rᵢ − β·uᵢ for i = 0..j (masked over static range).
             U_new = U
@@ -170,7 +170,7 @@ def bicgstab_l(
         u_j = v.get_stacked(U, j)
         u_j1 = PA(u_j)
         U = v.set_stacked(U, j + 1, u_j1)
-        alpha = safe_divide(rho, dot(r_tilde, u_j1))
+        alpha = safe_divide(rho, dot(u_j1, r_tilde))
         R_new = R
         for i in range(l):
             r_i = v.get_stacked(R_new, i)

@@ -44,7 +44,9 @@ def cg(
         else:
             p = r
             gamma = v.dot(r, r, axis_name=axis_name)
-            err = jnp.sqrt(gamma)
+            # real(): <r,z> is real for Hermitian PD (complex
+            # dtypes); identity for real dtypes — bit-unchanged.
+            err = jnp.sqrt(jnp.real(gamma))
         return (p, r, gamma), err
 
     def iterate_fn(it, x, state):
@@ -65,7 +67,7 @@ def cg(
         beta = safe_divide(gamma, gamma_bar)
         p = v.xpay(z if P is not None else r, beta, p)
 
-        err = v.norm_2(r, axis_name=axis_name) if P is not None else jnp.sqrt(gamma)
+        err = v.norm_2(r, axis_name=axis_name) if P is not None else jnp.sqrt(jnp.real(gamma))
         return x, (p, r, gamma), err
 
     return run_iterative(init_fn, iterate_fn, None, x0, opts)

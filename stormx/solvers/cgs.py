@@ -41,9 +41,9 @@ def cgs(
         if left_pre:
             r = P(r)
         r_tilde = r
-        rho = v.dot(r_tilde, r, axis_name=axis_name)
+        rho = v.dot(r, r_tilde, axis_name=axis_name)
         state = (r, r_tilde, v.zeros_like(r), v.zeros_like(r), rho)
-        return state, jnp.sqrt(rho)
+        return state, jnp.sqrt(jnp.real(rho))  # <r,r> — real for complex too
 
     def iterate_fn(it, x, state):
         r, r_tilde, p, q, rho = state
@@ -54,7 +54,7 @@ def cgs(
             return u, r, rho
 
         def do_rest():
-            rho_new = v.dot(r_tilde, r, axis_name=axis_name)
+            rho_new = v.dot(r, r_tilde, axis_name=axis_name)
             beta = safe_divide(rho_new, rho)
             u = v.xpay(r, beta, q)
             p_new = v.xpay(u, beta, v.xpay(q, beta, p))
@@ -70,7 +70,7 @@ def cgs(
             vv = A(q_tmp)
         else:
             vv = A(p)
-        alpha = safe_divide(rho, v.dot(r_tilde, vv, axis_name=axis_name))
+        alpha = safe_divide(rho, v.dot(vv, r_tilde, axis_name=axis_name))
         q = v.xpay(u, -alpha, vv)
         vv = v.add(u, q)
 

@@ -68,7 +68,16 @@ def _base_gmres(
 
     def init_fn(x):
         q0, beta0 = make_q0(x)
-        dtype = jnp.asarray(beta0).dtype
+        # Small-state dtype must follow the SOLUTION dtype, not the (always
+        # real) norm: for complex operators H/cs/sn/beta carry complex
+        # entries — a real dtype here silently truncates the imaginary
+        # parts in the .at[] scatters and the residual estimate lies.
+        import jax as _jax
+
+        dtype = jnp.result_type(
+            jnp.asarray(beta0).dtype,
+            *[l.dtype for l in _jax.tree_util.tree_leaves(q0)],
+        )
         Q = v.set_stacked(v.stacked_zeros(q0, m + 1), 0, q0)
         Z = v.stacked_zeros(q0, m) if store_z else None
         H = jnp.zeros((m + 1, m), dtype=dtype)
@@ -125,9 +134,13 @@ def _base_gmres(
         q_new = v.scale(1.0 / hk1, q_new)
         Q = v.set_stacked(Q, k + 1, q_new)
 
-        # Apply stored Givens rotations to column k (:176-180).
+        # Apply stored Givens rotations to column k (:176-180).  The
+        # unitary rotation is [[conj(cs), conj(sn)], [-sn, cs]]; jnp.conj
+        # is the identity for real dtypes, so the real path is unchanged
+        # bit-for-bit while complex operators stay norm-preserving (the
+        # residual estimate |β(k+1)| relies on unitarity).
         def givens_body(i, h_acc):
-            chi = cs[i] * h_acc[i] + sn[i] * h_acc[i + 1]
+            chi = jnp.conj(cs[i]) * h_acc[i] + jnp.conj(sn[i]) * h_acc[i + 1]
             h_acc = h_acc.at[i + 1].set(-sn[i] * h_acc[i] + cs[i] * h_acc[i + 1])
             return h_acc.at[i].set(chi)
 
@@ -135,14 +148,19 @@ def _base_gmres(
 
         # New rotation, eliminate H(k+1, k) (:181-183).
         cs_k, sn_k, _ = sym_ortho(h[k], h[k + 1])
-        h = h.at[k].set(cs_k * h[k] + sn_k * h[k + 1]).at[k + 1].set(0.0)
+        h = (
+            h.at[k]
+            .set(jnp.conj(cs_k) * h[k] + jnp.conj(sn_k) * h[k + 1])
+            .at[k + 1]
+            .set(0.0)
+        )
         cs = cs.at[k].set(cs_k)
         sn = sn.at[k].set(sn_k)
         H = lax.dynamic_update_slice(H, h[:, None], (jnp.zeros_like(k), k))
 
         # β-solution update (:187-189); residual estimate = |β(k+1)|.
         beta = beta.at[k + 1].set(-sn_k * beta[k])
-        beta = beta.at[k].set(cs_k * beta[k])
+        beta = beta.at[k].set(jnp.conj(cs_k) * beta[k])
         return x, (Q, Z, H, cs, sn, beta), jnp.abs(beta[k + 1])
 
     def inner_finalize(k, x, state):

@@ -64,7 +64,14 @@ def idrs(
         if left_pre:
             r = P(r)
         err0 = norm(r)
-        dtype = jnp.asarray(err0).dtype
+        # Small state follows the SOLUTION dtype, not the (always real)
+        # norm: for complex operators φ/μ/ω carry complex shadow products
+        # (the it>0 refresh φᵢ ← <r⋅pᵢ> is complex) — a real dtype here
+        # makes the lax.cond branches disagree.  Identity for real dtypes.
+        dtype = jnp.result_type(
+            jnp.asarray(err0).dtype,
+            *[l.dtype for l in jax.tree_util.tree_leaves(r)],
+        )
         phi = jnp.zeros((s,), dtype=dtype).at[0].set(err0)
         mu = jnp.eye(s, dtype=dtype)
         omega = jnp.ones((), dtype=dtype)
@@ -116,9 +123,13 @@ def idrs(
         # At it == 0 keep the exact (‖r₀‖, 0, …, 0) from init (the shadow
         # space itself is built once in init_fn; μ = I and ω = 1 already
         # hold there, so no reset is needed).
+        # Shadow products are written dot(X, pᵢ) = Σ X·conj(pᵢ) = pᵢᴴX —
+        # LINEAR in the updated operand X, so the textbook updates below
+        # (β zeroing pᵢᴴr, α zeroing pᵢᴴg) hold for complex operators.
+        # For real dtypes the operand order is bit-irrelevant.
         phi = lax.cond(
             jnp.logical_and(k == 0, it > 0),
-            lambda: jnp.stack([dot(v.get_stacked(Pspace, i), r) for i in range(s)]),
+            lambda: jnp.stack([dot(r, v.get_stacked(Pspace, i)) for i in range(s)]),
             lambda: phi,
         )
 
@@ -147,13 +158,13 @@ def idrs(
         for i in range(s):
             p_i = v.get_stacked(Pspace, i)
             alpha = jnp.where(
-                i < k, safe_divide(dot(p_i, g_k), mu[i, i]), 0.0
+                i < k, safe_divide(dot(g_k, p_i), mu[i, i]), 0.0
             )
             u_k = v.xpay(u_k, -alpha, v.get_stacked(U, i))
             g_k = v.xpay(g_k, -alpha, v.get_stacked(G, i))
 
         # --- New column of μ: μᵢₖ ← <pᵢ⋅gₖ> for i ≥ k (:228-236) ---
-        pg = jnp.stack([dot(v.get_stacked(Pspace, i), g_k) for i in range(s)])
+        pg = jnp.stack([dot(g_k, v.get_stacked(Pspace, i)) for i in range(s)])
         new_col = jnp.where(idx >= k, pg, _col(mu, k))  # i < k entries stay stale,
         mu = lax.dynamic_update_slice(  # as in :234-236
             mu, new_col[:, None], (jnp.zeros_like(k), k)
@@ -183,7 +194,9 @@ def idrs(
             else:
                 v2 = A(r)
                 z2 = r
-            om = safe_divide(dot(v2, r), dot(v2, v2))
+            # ω minimizes ‖r − ω·v₂‖ ⇒ ω = v₂ᴴr / v₂ᴴv₂ = dot(r,v₂)/dot(v₂,v₂)
+            # (conjugation convention; elementwise-identical for real dtypes).
+            om = safe_divide(dot(r, v2), dot(v2, v2))
             x = v.xpay(x, om, z2 if right_pre else r)
             r = v.xpay(r, -om, v2)
             return x, r, om

@@ -75,7 +75,13 @@ def _base_lgmres(
 
     def init_fn(x):
         q0, beta0 = make_q0(x)
-        dtype = jnp.asarray(beta0).dtype
+        # Small-state dtype follows the SOLUTION dtype, not the (always
+        # real) norm — complex operators carry complex H/cs/sn/beta entries
+        # (see the same fix in gmres.py).
+        dtype = jnp.result_type(
+            jnp.asarray(beta0).dtype,
+            *[l.dtype for l in jax.tree_util.tree_leaves(q0)],
+        )
         Q = v.set_stacked(v.stacked_zeros(q0, mm + 1), 0, q0)
         # Derive Zaug's zeros from q0 (0·q0 broadcast) rather than fresh
         # jnp.zeros: under shard_map fresh zeros are replicated-typed, but
@@ -147,19 +153,27 @@ def _base_lgmres(
         q_new = v.scale(safe_divide(1.0, hk1), q_new)
         Q = v.set_stacked(Q, j + 1, q_new)
 
+        # Unitary rotation [[conj(cs), conj(sn)], [-sn, cs]] — jnp.conj is
+        # the identity for real dtypes; complex operators need it for the
+        # |β(j+1)| residual estimate to stay honest (see gmres.py).
         def givens_body(i, h_acc):
-            chi = cs[i] * h_acc[i] + sn[i] * h_acc[i + 1]
+            chi = jnp.conj(cs[i]) * h_acc[i] + jnp.conj(sn[i]) * h_acc[i + 1]
             h_acc = h_acc.at[i + 1].set(-sn[i] * h_acc[i] + cs[i] * h_acc[i + 1])
             return h_acc.at[i].set(chi)
 
         h = lax.fori_loop(0, j, givens_body, h)
         cs_j, sn_j, _ = sym_ortho(h[j], h[j + 1])
-        h = h.at[j].set(cs_j * h[j] + sn_j * h[j + 1]).at[j + 1].set(0.0)
+        h = (
+            h.at[j]
+            .set(jnp.conj(cs_j) * h[j] + jnp.conj(sn_j) * h[j + 1])
+            .at[j + 1]
+            .set(0.0)
+        )
         cs = cs.at[j].set(cs_j)
         sn = sn.at[j].set(sn_j)
         H = lax.dynamic_update_slice(H, h[:, None], (jnp.zeros_like(j), j))
         beta = beta.at[j + 1].set(-sn_j * beta[j])
-        beta = beta.at[j].set(cs_j * beta[j])
+        beta = beta.at[j].set(jnp.conj(cs_j) * beta[j])
         return x, (Q, Zaug, Z, H, cs, sn, beta, x_start, nz), jnp.abs(beta[j + 1])
 
     def correction(j, state):

@@ -62,8 +62,12 @@ def _base_tfqmr(
         d = x if l1 else v.zeros_like(x)
         u = y
         r_tilde = u
-        rho = dot(r_tilde, u)
-        tau = jnp.sqrt(rho)
+        rho = dot(u, r_tilde)
+        # τ is a residual-norm surrogate — REAL even for complex operators
+        # (<r,r> has zero imaginary part); keeping it real keeps the L2
+        # Givens quantities (ω, cs, sn) real, which the quasi-minimization
+        # update x += cs²·d relies on.  Identity for real dtypes.
+        tau = jnp.sqrt(jnp.real(rho))
         zeros = v.zeros_like(y)
         # state: (d, r_tilde, u, v_vec, y, s_vec, rho, tau)
         return (d, r_tilde, u, zeros, y, zeros, rho, tau), tau
@@ -79,7 +83,7 @@ def _base_tfqmr(
 
         def do_rest(args):
             u, vv, y, s, rho = args
-            rho_new = dot(r_tilde, u)
+            rho_new = dot(u, r_tilde)
             beta = safe_divide(rho_new, rho)
             vv1 = v.xpay(s, beta, vv)
             y_new = v.xpay(u, beta, y)
@@ -92,7 +96,7 @@ def _base_tfqmr(
         )
 
         # α ← ρ/<r̃⋅v>; two half-steps m = 0, 1 (:144-192).
-        alpha = safe_divide(rho, dot(r_tilde, vv))
+        alpha = safe_divide(rho, dot(vv, r_tilde))
         for mm in (0, 1):
             u = v.xpay(u, -alpha, s)
             d = v.xpay(d, alpha, z if right_pre else y)
