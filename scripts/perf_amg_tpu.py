@@ -11,13 +11,15 @@ regimes:
   counts blow up ~1/sqrt(eps) while the block aggregation coarsens along
   x, exactly the strong direction (semicoarsening): AMG wins wall-clock.
 
-Both regimes share offsets/shapes, so the aniso solves reuse the compiled
-programs from the iso pass (the coarsening structure is data-independent).
 Each solve is ONE dispatch (lax.while_loop inside jit); fresh RHS per
 timed run defeats relay memoization; solves run ~0.1-1 s, large against
-the dispatch floor.
+the dispatch floor.  Non-convergence at the iteration cap is REPORTED,
+not asserted — "Jacobi did not converge in 20k iters" is itself the
+anisotropic result.
 
-Usage: timeout 560 python scripts/perf_amg_tpu.py [nx] [eps]
+Usage: timeout 560 python scripts/perf_amg_tpu.py [nx] [eps] [config-filter]
+(one config per invocation keeps each remote-compile batch under the
+timeout; the persistent .jax_cache makes reruns warm)
 """
 
 import os
@@ -68,7 +70,9 @@ def main():
     from stormx.solvers import SolverOptions, cg, make_operator
 
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    dia = poisson_dia(nx)
+    eps = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    flt = sys.argv[3] if len(sys.argv) > 3 else ""
+    dia = poisson_dia(nx, eps=eps)
     n = nx * nx
     rng = np.random.default_rng(0)
     opts = SolverOptions(
@@ -84,6 +88,7 @@ def main():
         # (remote compile time scales with the unrolled V-cycle depth).
         "blockamg-g8-s1": None,
     }
+    configs = {k: v for k, v in configs.items() if flt in k}
     for name in list(configs):
         if name.startswith("blockamg"):
             _, g, s = name.split("-")
@@ -103,7 +108,7 @@ def main():
         bw = jnp.asarray(rng.standard_normal(n).astype(np.float32))
         rw = solve(bw)
         rw.x.block_until_ready()  # compile + warm
-        best, iters = np.inf, int(rw.num_iterations)
+        best, iters, conv = np.inf, int(rw.num_iterations), True
         for _ in range(3):
             bt = jnp.asarray(rng.standard_normal(n).astype(np.float32))
             bt.block_until_ready()
@@ -112,9 +117,10 @@ def main():
             rt.x.block_until_ready()
             best = min(best, time.perf_counter() - t0)
             iters = int(rt.num_iterations)
-            assert bool(rt.converged), name
-        print(f"{name:16s} {best * 1e3:9.1f} ms/solve  {iters:6d} iters",
-              flush=True)
+            conv = bool(rt.converged)
+        tag = "" if conv else "  ** DID NOT CONVERGE **"
+        print(f"eps={eps:g} {name:16s} {best * 1e3:9.1f} ms/solve  "
+              f"{iters:6d} iters{tag}", flush=True)
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ with ``psum`` reductions riding ICI.
 """
 
 from stormx.parallel.amg import DistributedAmg
+from stormx.parallel.block_amg import DistributedBlockDiaAmg
 from stormx.parallel.banded import PartitionedDIA, partition_dia, sharded_dia_solve
 from stormx.parallel.partition import (
     PartitionedOperator,
@@ -36,6 +37,7 @@ from stormx.parallel.sliced import (
 
 __all__ = [
     "DistributedAmg",
+    "DistributedBlockDiaAmg",
     "PartitionedBSR",
     "partition_bsr",
     "partition_bsr_vector",

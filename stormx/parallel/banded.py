@@ -122,12 +122,20 @@ class PartitionedDIA:
         return matvec
 
 
-def partition_dia(dia, num_parts: int) -> PartitionedDIA:
-    """Split a DIA operator into P contiguous row blocks (host-side)."""
+def partition_dia(dia, num_parts: int, *, align: int = 1) -> PartitionedDIA:
+    """Split a DIA operator into P contiguous row blocks (host-side).
+
+    ``align``: round the local block size up to a multiple (shard
+    boundaries land on multiples of ``align``).  Needed by
+    :class:`~stormx.parallel.block_amg.DistributedBlockDiaAmg`, whose
+    reshape-sum restriction is shard-local only when aggregate boundaries
+    never straddle shards.
+    """
     n = dia.shape[0]
     D = dia.num_diags
     Pn = num_parts
     n_loc = -(-n // Pn)
+    n_loc = -(-n_loc // align) * align
     h = max(abs(o) for o in dia.offsets)
     if h > n_loc:
         raise ValueError(
@@ -164,6 +172,7 @@ def sharded_dia_solve(
     method: str = "cg",
     options: SolverOptions | None = None,
     precond_diag=None,
+    amg=None,
     overlap: bool = True,
     **solver_kw,
 ):
@@ -172,6 +181,10 @@ def sharded_dia_solve(
     The whole while-loop runs inside one shard_map region: ppermute halos
     inside the operator (overlapped with interior rows by default),
     psum reductions inside the dots.
+
+    ``amg``: a :class:`~stormx.parallel.block_amg.DistributedBlockDiaAmg`
+    built for THIS ``pdia`` — a bit-exact distributed V-cycle
+    preconditioner (excludes ``precond_diag``).
     """
     opts = options or SolverOptions()
     solver_fn = SOLVERS[method.lower()]
@@ -183,20 +196,67 @@ def sharded_dia_solve(
     extras = {}
     if precond_diag is not None:
         extras["diag"] = _partition_vec(pdia, np.asarray(precond_diag))
+    if amg is not None:
+        if precond_diag is not None:
+            raise ValueError("amg=... excludes precond_diag")
+        if amg.num_parts != pdia.num_parts or (
+            amg.pdias[0].n_loc != pdia.n_loc
+        ):
+            raise ValueError(
+                "amg was built for a different partition "
+                f"(P={amg.num_parts}, n_loc={amg.pdias[0].n_loc}) than "
+                f"this solve (P={pdia.num_parts}, n_loc={pdia.n_loc})"
+            )
+        extras.update(amg.extras())
     extra_keys = tuple(extras)
+
+    # Program cache: repeated solves with the same (pdia, mesh, method,
+    # options, preconditioning setup) — time-stepping — must not re-trace
+    # (same pattern as sharded_solve / sharded_sliced_solve).
+    from stormx.parallel.sharded import _instance_key
+
+    kw_key = tuple(
+        sorted(
+            (k, v if isinstance(v, (int, float, str, bool, type(None))) else id(v))
+            for k, v in solver_kw.items()
+        )
+    )
+    cache_key = (
+        mesh, method.lower(), opts, extra_keys, overlap, kw_key,
+        _instance_key(amg),
+    )
+    cache = pdia.__dict__.get("_solve_cache")
+    if cache is None:
+        cache = {}
+        object.__setattr__(pdia, "_solve_cache", cache)
+    cached = cache.get(cache_key)
+    if cached is not None:
+        res = cached(bp, xp0, pdia.data, *(extras[k] for k in extra_keys))
+        return res._replace(x=res.x.reshape(-1)[: pdia.n_global])
 
     def local_solve(b_loc, x0_loc, data, *extra_vals):
         b_loc, x0_loc, data = b_loc[0], x0_loc[0], data[0]
         op = make_operator(lambda v: local_mv(v, data))
         pre = None
         kw = dict(solver_kw)
+        bamg_vals = {}
         for key, val in zip(extra_keys, extra_vals):
             if key == "diag":
                 from stormx.precond import JacobiPreconditioner
 
                 pre = JacobiPreconditioner(diag=val[0])
+            elif key.startswith("bamg_"):
+                bamg_vals[key] = val[0]
             else:
                 kw[key] = val[0]
+        if bamg_vals:
+            from stormx.solvers.preconditioner import FunctionPreconditioner
+
+            vals = {
+                k: (bamg_vals[f"bamg_data{k}"], bamg_vals[f"bamg_idiag{k}"])
+                for k in range(amg.dist_depth)
+            }
+            pre = FunctionPreconditioner(amg.make_apply(vals, AXIS))
         res = solver_fn(
             op, b_loc, x0_loc, precond=pre, options=opts, axis_name=AXIS, **kw
         )
@@ -220,6 +280,8 @@ def sharded_dia_solve(
         out_specs=out_specs,
     )
     args = (bp, xp0, pdia.data) + tuple(extras[k] for k in extra_keys)
-    res = jax.jit(sharded)(*args)
+    jitted = jax.jit(sharded)
+    cache[cache_key] = jitted
+    res = jitted(*args)
     x_global = res.x.reshape(-1)[: pdia.n_global]
     return res._replace(x=x_global)

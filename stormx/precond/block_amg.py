@@ -38,6 +38,56 @@ from stormx.solvers.preconditioner import Preconditioner
 
 __all__ = ["BlockDiaAmg"]
 
+_LANES = 128
+
+
+def _sum_matrix(g: int, dtype):
+    """(128, 128/g) 0/1 matrix: S[l, c] = 1 iff lane l belongs to group c."""
+    import jax.numpy as jnp
+
+    lanes = np.arange(_LANES)
+    s = (lanes[:, None] // g == np.arange(_LANES // g)[None, :])
+    return jnp.asarray(s.astype(dtype))
+
+
+def restrict_sum(r, nc: int, g: int):
+    """Sum groups of ``g`` consecutive entries: (n,) → (nc,).
+
+    TPU-native: ``(n,) → (n/128, 128)`` is a FREE row-major reshape (the
+    lane layout), and the group sums are one small MXU matmul against a
+    0/1 summing matrix at ``Precision.HIGHEST`` (exact f32 products).
+    The naive ``r.reshape(nc, g).sum(1)`` relayouts the whole vector onto
+    an 8-wide minor dim — measured 1.55 ms at 4.2M rows vs ~68 µs for a
+    5-diagonal matvec (scripts/probe_blockamg_cost.py); this form is
+    bandwidth-bound.  Requires ``g | 128`` (enforced by BlockDiaAmg).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    npad = -(-nc * g // _LANES) * _LANES
+    if r.shape[0] < npad:
+        r = jnp.pad(r, (0, npad - r.shape[0]))
+    r2 = r[:npad].reshape(-1, _LANES)
+    s = _sum_matrix(g, r.dtype)
+    rc = jnp.matmul(r2, s, precision=lax.Precision.HIGHEST)
+    return rc.reshape(-1)[:nc]
+
+
+def prolong_repeat(e_c, n: int, g: int):
+    """Adjoint of :func:`restrict_sum`: repeat each entry ``g`` times,
+    (nc,) → (n,) — the same MXU matmul against Sᵀ, so R = Pᵀ exactly."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    gc = _LANES // g
+    mpad = -(-e_c.shape[0] // gc) * gc
+    if e_c.shape[0] < mpad:
+        e_c = jnp.pad(e_c, (0, mpad - e_c.shape[0]))
+    e2 = e_c.reshape(-1, gc)
+    s = _sum_matrix(g, e_c.dtype)
+    e = jnp.matmul(e2, s.T, precision=lax.Precision.HIGHEST)
+    return e.reshape(-1)[:n]
+
 
 def _coarsen_dia(offsets, data, n, g):
     """Galerkin R·A·P for piecewise-constant aggregation over g consecutive
@@ -86,6 +136,11 @@ class BlockDiaAmg(Preconditioner):
 
         if group < 2:
             raise ValueError("group must be ≥ 2")
+        if _LANES % group:
+            raise ValueError(
+                f"group must divide {_LANES} (lane-aligned MXU restriction); "
+                f"got {group}"
+            )
         self.group = g = int(group)
         self.num_sweeps = num_sweeps
         self.omega = omega
@@ -128,25 +183,28 @@ class BlockDiaAmg(Preconditioner):
     def build(self, x, b, op):
         return self
 
-    def _smooth(self, lvl, x, b):
-        for _ in range(self.num_sweeps):
+    def _smooth(self, lvl, x, b, *, from_zero=False):
+        sweeps = self.num_sweeps
+        if from_zero:
+            # First sweep from x = 0 collapses to ω·D⁻¹·b — skip the
+            # matvec of zeros (measured 68 µs at 4.2M rows).
+            x = self.omega * lvl["inv_diag"] * b
+            sweeps -= 1
+        for _ in range(sweeps):
             r = b - lvl["op"].matvec(x)
             x = x + self.omega * lvl["inv_diag"] * r
         return x
 
     def _vcycle(self, k, b):
-        import jax.numpy as jnp
-
         if k == len(self._levels):
             return self._coarse_inv @ b
         lvl = self._levels[k]
         g, n, nc = self.group, lvl["n"], lvl["nc"]
-        x = self._smooth(lvl, jnp.zeros_like(b), b)
+        x = self._smooth(lvl, None, b, from_zero=True)
         r = b - lvl["op"].matvec(x)
-        r_pad = jnp.pad(r, (0, nc * g - n))
-        r_c = r_pad.reshape(nc, g).sum(axis=1)
+        r_c = restrict_sum(r, nc, g)
         e_c = self._vcycle(k + 1, r_c)
-        x = x + jnp.repeat(e_c, g)[:n]
+        x = x + prolong_repeat(e_c, n, g)
         return self._smooth(lvl, x, b)
 
     def __call__(self, r):

@@ -137,3 +137,114 @@ class TestDistributedAmg:
         run(pop1, dmesh1, precond_diag=diag)
         t_jac = time.perf_counter() - t0
         assert t_amg < t_jac, (t_amg, t_jac)
+
+
+def _poisson_dia(nx, coupling_y=1.0):
+    from stormx.sparse.formats import DIA
+
+    n = nx * nx
+    offs = (-nx, -1, 0, 1, nx)
+    data = np.zeros((5, n))
+    i = np.arange(n)
+    data[2] = 2.0 + 2.0 * coupling_y
+    for k, off in enumerate(offs):
+        if off == 0:
+            continue
+        j = i + off
+        valid = (j >= 0) & (j < n)
+        if abs(off) == 1:
+            valid &= (i // nx) == (j // nx)
+        data[k][valid] = -1.0 if abs(off) == 1 else -coupling_y
+    return DIA(data=jnp.asarray(data), offsets=offs, shape=(n, n))
+
+
+class TestDistributedBlockDiaAmg:
+    """Bit-exact distributed block AMG on banded operators.
+
+    Unlike DistributedAmg (whose restriction psum perturbs the V-cycle to
+    ~1e-7), every ingredient here is shard-local or an exact collective —
+    the invariance contract is plain-CG's ~1e-13.
+    """
+
+    def test_partition_invariant_to_plain_cg_contract(self):
+        from stormx.parallel import DistributedBlockDiaAmg
+        from stormx.parallel.banded import partition_dia, sharded_dia_solve
+
+        dia = _poisson_dia(60)  # 3600 rows: 8*4 alignment pads the tail
+        rng = np.random.default_rng(0)
+        b = jnp.asarray(rng.standard_normal(dia.shape[0]))
+        opts = SolverOptions(
+            num_iterations=2000, absolute_tolerance=0.0,
+            relative_tolerance=1e-10,
+        )
+        out = {}
+        for parts in (1, 8):
+            pdia = partition_dia(dia, parts, align=4)
+            amg = DistributedBlockDiaAmg(dia, pdia, group=4)
+            res = sharded_dia_solve(
+                pdia, b, mesh=make_device_mesh(parts), method="cg",
+                options=opts, amg=amg,
+            )
+            assert bool(res.converged), parts
+            out[parts] = res
+        k1 = int(out[1].num_iterations)
+        assert k1 == int(out[8].num_iterations)
+        h1 = np.asarray(out[1].history)[: k1 + 1]
+        h8 = np.asarray(out[8].history)[: k1 + 1]
+        # No psum inside the V-cycle: only the outer dots regroup.
+        np.testing.assert_allclose(h8, h1, rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(out[8].x), np.asarray(out[1].x), atol=1e-11
+        )
+        r = np.asarray(dia.matvec(jnp.asarray(np.asarray(out[8].x)))) - (
+            np.asarray(b)
+        )
+        assert np.linalg.norm(r) <= 1e-9 * np.linalg.norm(np.asarray(b))
+
+    def test_beats_jacobi_iterations(self):
+        from stormx.parallel import DistributedBlockDiaAmg
+        from stormx.parallel.banded import partition_dia, sharded_dia_solve
+
+        dia = _poisson_dia(64)
+        rng = np.random.default_rng(1)
+        b = jnp.asarray(rng.standard_normal(dia.shape[0]))
+        opts = SolverOptions(
+            num_iterations=4000, absolute_tolerance=0.0,
+            relative_tolerance=1e-9,
+        )
+        pdia = partition_dia(dia, 8, align=2)
+        amg = DistributedBlockDiaAmg(dia, pdia, group=2, num_sweeps=2)
+        res_a = sharded_dia_solve(
+            pdia, b, mesh=make_device_mesh(8), method="cg", options=opts,
+            amg=amg,
+        )
+        d0 = np.asarray(dia.data)[2]
+        res_j = sharded_dia_solve(
+            pdia, b, mesh=make_device_mesh(8), method="cg", options=opts,
+            precond_diag=d0,
+        )
+        assert bool(res_a.converged) and bool(res_j.converged)
+        assert int(res_a.num_iterations) < 0.5 * int(res_j.num_iterations)
+
+    def test_validates_partition_alignment_and_exclusions(self):
+        from stormx.parallel import DistributedBlockDiaAmg
+        from stormx.parallel.banded import partition_dia, sharded_dia_solve
+
+        dia = _poisson_dia(26)  # n=676 > coarse_size: real hierarchy
+        pdia_bad = partition_dia(dia, 8)  # n_loc=85, not a multiple of 4
+        with pytest.raises(ValueError, match="align"):
+            DistributedBlockDiaAmg(dia, pdia_bad, group=4)
+        pdia = partition_dia(dia, 8, align=4)
+        amg = DistributedBlockDiaAmg(dia, pdia, group=4)
+        with pytest.raises(ValueError, match="excludes"):
+            sharded_dia_solve(
+                pdia, jnp.ones(dia.shape[0]), mesh=make_device_mesh(8),
+                amg=amg, precond_diag=np.asarray(dia.data)[2],
+            )
+        # built-for-a-different-partition guard
+        other = partition_dia(dia, 4, align=4)
+        with pytest.raises(ValueError, match="different partition"):
+            sharded_dia_solve(
+                other, jnp.ones(dia.shape[0]), mesh=make_device_mesh(4),
+                amg=amg,
+            )

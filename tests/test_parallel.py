@@ -805,3 +805,39 @@ class TestCommunicationVolume:
         assert rep["moved_elems"] == 4 * 3 * pop.s_max
         assert rep["moved_bytes"] == rep["moved_elems"] * np.asarray(pop.data).dtype.itemsize
         assert 0 < rep["ratio"] < 1
+
+
+def test_sharded_dia_solve_caches_program():
+    """Re-solves with the same partitioned DIA operator must reuse the
+    traced program (time-stepping pattern; mirrors sharded_solve's cache)."""
+    import jax.numpy as jnp
+
+    from stormx.parallel import make_device_mesh
+    from stormx.parallel.banded import partition_dia, sharded_dia_solve
+    from stormx.sparse.formats import DIA
+
+    n = 512
+    i = np.arange(n)
+    data = np.zeros((3, n))
+    data[1] = 2.0
+    data[0][1:] = -1.0  # row-aligned: data[0][i] = A[i, i-1]
+    data[2][: n - 1] = -1.0
+    dia = DIA(data=jnp.asarray(data), offsets=(-1, 0, 1), shape=(n, n))
+    pdia = partition_dia(dia, 8)
+    mesh = make_device_mesh(8)
+    rng = np.random.default_rng(0)
+    r1 = sharded_dia_solve(pdia, jnp.asarray(rng.standard_normal(n)), mesh=mesh)
+    assert len(pdia.__dict__["_solve_cache"]) == 1
+    prog = next(iter(pdia.__dict__["_solve_cache"].values()))
+    r2 = sharded_dia_solve(pdia, jnp.asarray(rng.standard_normal(n)), mesh=mesh)
+    assert len(pdia.__dict__["_solve_cache"]) == 1
+    assert next(iter(pdia.__dict__["_solve_cache"].values())) is prog
+    assert bool(r1.converged) and bool(r2.converged)
+    # different options -> separate entry, no collision
+    from stormx.solvers import SolverOptions
+
+    sharded_dia_solve(
+        pdia, jnp.asarray(rng.standard_normal(n)), mesh=mesh,
+        options=SolverOptions(num_iterations=7),
+    )
+    assert len(pdia.__dict__["_solve_cache"]) == 2

@@ -600,3 +600,30 @@ class TestBlockDiaAmg:
         good = self._poisson_dia(8)
         with pytest.raises(ValueError, match="group"):
             BlockDiaAmg(good, group=1)
+
+    def test_mxu_restrict_prolong_match_naive_and_are_adjoint(self):
+        from stormx.precond.block_amg import prolong_repeat, restrict_sum
+
+        rng = np.random.default_rng(7)
+        for n, g in ((1000, 4), (4096, 8), (130, 2), (256, 128)):
+            nc = -(-n // g)
+            r = jnp.asarray(rng.standard_normal(n))
+            want = np.pad(np.asarray(r), (0, nc * g - n)).reshape(nc, g).sum(1)
+            got = np.asarray(restrict_sum(r, nc, g))
+            np.testing.assert_allclose(got, want, rtol=1e-13)
+            e = jnp.asarray(rng.standard_normal(nc))
+            np.testing.assert_allclose(
+                np.asarray(prolong_repeat(e, n, g)),
+                np.repeat(np.asarray(e), g)[:n],
+                rtol=1e-13,
+            )
+            # adjointness <R r, e> == <r, P e> (R = Pᵀ exactly)
+            s1 = float(jnp.vdot(restrict_sum(r, nc, g), e))
+            s2 = float(jnp.vdot(r, prolong_repeat(e, n, g)))
+            assert s1 == pytest.approx(s2, rel=1e-13)
+
+    def test_rejects_non_lane_divisor_group(self):
+        from stormx.precond import BlockDiaAmg
+
+        with pytest.raises(ValueError, match="divide"):
+            BlockDiaAmg(self._poisson_dia(16), group=3)
