@@ -1,4 +1,5 @@
 from stormx.mesh import shapes
+from stormx.mesh.refine import refine
 from stormx.mesh.structured import structured_tet_box, structured_tri_rect
 from stormx.mesh.tetgen import read_tetgen
 from stormx.mesh.unstructured import (
@@ -17,4 +18,5 @@ __all__ = [
     "build_hybrid_mesh",
     "structured_tri_rect",
     "structured_tet_box",
+    "refine",
 ]

@@ -43,7 +43,8 @@ def sym_ortho(a, b):
     Real (reference ``Crow/MathUtils.hpp:164-179``): ``rr = hypot(a, b)``;
     if ``rr > 0``: ``cs = a/rr, sn = b/rr``, else ``cs = 1, sn = 0``.
 
-    Complex: ``rr = sqrt(|a|² + |b|²)`` (real), same quotients — the
+    Complex: ``rr = hypot(|a|, |b|)`` (real, overflow-robust like the real
+    path), same quotients — the
     unitary rotation is then ``[[conj(cs), conj(sn)], [-sn, cs]]``
     (consumers apply the conjugates on the first row; ``jnp.conj`` is the
     identity for real dtypes, so the real path is bit-unchanged).  The
@@ -55,7 +56,7 @@ def sym_ortho(a, b):
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     if jnp.iscomplexobj(a) or jnp.iscomplexobj(b):
-        rr = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(b) ** 2)  # real
+        rr = jnp.hypot(jnp.abs(a), jnp.abs(b))  # real
         pos = rr > 0
         rr_safe = jnp.where(pos, rr, jnp.ones_like(rr))
         one = jnp.ones((), jnp.result_type(a, b))

@@ -148,9 +148,19 @@ class BandedGatherPlan:
         self.xla_fallback = C // 128 > self.MAX_CHUNKS
         self.full_idx = None
         if self.xla_fallback:
+            # Fallback plans never touch the kernel metadata — skip the
+            # whole window/fixup build (O(m) host time + memory).
             self.full_idx = jnp.asarray(idx.astype(np.int32))
-            C = 128  # keep the (unused) kernel metadata tiny & valid
-            start128 = np.zeros(nb, dtype=np.int64)
+            self.window = 0
+            self.src_rows = 0
+            self.sub = R // 128
+            self.n_chunks = 0
+            zi = jnp.zeros((0,), jnp.int32)
+            self.fix_pos = zi
+            self.fix_idx = zi
+            self.lidx = jnp.zeros((0, self.sub, 128), jnp.int32)
+            self.starts = zi
+            return
         start128 = np.maximum(center - C // 2, 0) // 128 * 128
         # Clamp so start + C stays inside the padded source.
         src_rows = -(-n_src // 128) + C // 128

@@ -5,11 +5,12 @@ STATUS (r4, measured on v5e — see BENCH_NOTES.md): RETIRED to validated
 reference status; **the v1 kernel wins**.  Slope-protocol results on the
 step operator (R=512, coords ordering):
 
-* v1 masked-chunk loop (``pallas_sell``): **13.4 µs/apply, 23.6 Gnnz/s**
-  (the 2026-08 toolchain lowers the masked lane-gather loop ~2.4× faster
-  than r3's measurement of the same kernel — 69% of the 24 B/nnz traffic
-  roofline).
-* v2 "matmul" variant (this module): 62.4 µs — the one-hot MXU chunk
+* v1 masked-chunk loop (``pallas_sell``): **29.7–30.5 µs/apply,
+  10.4–10.7 Gnnz/s** by the settled ≥2000-rep slope protocol (an earlier
+  "13.4 µs / 23.6 Gnnz/s" figure was a 100/400-rep short-chain artifact
+  against the dispatch floor — retracted in BENCH_NOTES.md; do not
+  re-anchor on it).
+* v2 "matmul" variant (this module): ~2× slower — the one-hot MXU chunk
   select + owner-masked reductions cost more than they save.
 * v2 "gather" variant: **cannot compile** — Mosaic rejects cross-vreg
   sublane gathers ("Not implemented: Multiple source vregs along gather

@@ -213,17 +213,13 @@ def sharded_dia_solve(
     # Program cache: repeated solves with the same (pdia, mesh, method,
     # options, preconditioning setup) — time-stepping — must not re-trace
     # (same pattern as sharded_solve / sharded_sliced_solve).
-    from stormx.parallel.sharded import _instance_key
+    from stormx.parallel.sharded import _instance_key, _kw_key
 
-    kw_key = tuple(
-        sorted(
-            (k, v if isinstance(v, (int, float, str, bool, type(None))) else id(v))
-            for k, v in solver_kw.items()
-        )
-    )
+    keepalive = []
+    kw_key = _kw_key(solver_kw, keepalive)
     cache_key = (
         mesh, method.lower(), opts, extra_keys, overlap, kw_key,
-        _instance_key(amg),
+        _instance_key(amg, keepalive),
     )
     cache = pdia.__dict__.get("_solve_cache")
     if cache is None:
@@ -282,6 +278,8 @@ def sharded_dia_solve(
     args = (bp, xp0, pdia.data) + tuple(extras[k] for k in extra_keys)
     jitted = jax.jit(sharded)
     cache[cache_key] = jitted
+    pins = pdia.__dict__.setdefault("_solve_cache_pins", [])
+    pins.extend(keepalive)
     res = jitted(*args)
     x_global = res.x.reshape(-1)[: pdia.n_global]
     return res._replace(x=x_global)

@@ -14,6 +14,7 @@ one shard_map region — one XLA program per solve, collectives riding ICI.
 
 from __future__ import annotations
 
+import itertools
 from functools import partial
 
 import jax
@@ -29,22 +30,54 @@ __all__ = ["make_device_mesh", "sharded_solve", "sharded_matvec"]
 AXIS = "parts"
 
 
-def _instance_key(obj):
+_NONCE = itertools.count()
+
+
+def _instance_key(obj, keepalive=None):
     """Solve-cache key for a preconditioner/AMG instance: identity PLUS the
     scalar configuration so mutating e.g. ``omega`` or ``num_sweeps``
     between solves re-traces instead of silently reusing a program with the
-    old constants baked in (round-3 advisor finding).  Array attributes key
-    by id — jax arrays are immutable, and replacing one changes the id."""
+    old constants baked in (round-3 advisor finding).  Identity is a
+    per-instance monotonic nonce, NOT raw ``id()`` — CPython recycles ids
+    after GC, which could alias a dead instance's cached program (round-4
+    advisor finding).  Array attributes still key by id (jax arrays are
+    immutable and unhashable); ``keepalive`` strong-refs every id-keyed
+    object so those ids stay unique for the cache entry's lifetime."""
     if obj is None:
         return None
-    scalars = tuple(
-        sorted(
-            (k, v if isinstance(v, (int, float, str, bool, type(None))) else id(v))
-            for k, v in vars(obj).items()
-            if not k.startswith("_")
-        )
-    )
-    return (id(obj), scalars)
+    if keepalive is not None:
+        keepalive.append(obj)
+    nonce = getattr(obj, "_stormx_nonce", None)
+    if nonce is None:
+        nonce = next(_NONCE)
+        try:
+            object.__setattr__(obj, "_stormx_nonce", nonce)
+        except (AttributeError, TypeError):
+            nonce = id(obj)  # __slots__ instance: id, pinned by keepalive
+    scalars = []
+    for k, v in vars(obj).items():
+        if k.startswith("_"):
+            continue
+        if isinstance(v, (int, float, str, bool, type(None))):
+            scalars.append((k, v))
+        else:
+            if keepalive is not None:
+                keepalive.append(v)
+            scalars.append((k, id(v)))
+    return (nonce, tuple(sorted(scalars)))
+
+
+def _kw_key(solver_kw, keepalive):
+    """Hashable key for solver kwargs; id-keyed values are pinned via
+    ``keepalive`` (same contract as :func:`_instance_key`)."""
+    items = []
+    for k, v in solver_kw.items():
+        if isinstance(v, (int, float, str, bool, type(None))):
+            items.append((k, v))
+        else:
+            keepalive.append(v)
+            items.append((k, id(v)))
+    return tuple(sorted(items))
 
 
 def make_device_mesh(num_parts: int | None = None, devices=None) -> Mesh:
@@ -170,16 +203,12 @@ def sharded_solve(
     # options, preconditioning setup) — the shape of every time-stepping
     # app — must not re-trace/re-jit each call.  Arrays travel as call
     # arguments; everything baked into the trace is part of the key.
-    kw_key = tuple(
-        sorted(
-            (k, v if isinstance(v, (int, float, str, bool, type(None))) else id(v))
-            for k, v in solver_kw.items()
-        )
-    )
+    keepalive = []
+    kw_key = _kw_key(solver_kw, keepalive)
     cache_key = (
         mesh, method.lower(), opts, extra_keys, overlap, ras, kw_key,
-        _instance_key(precond),
-        _instance_key(amg),
+        _instance_key(precond, keepalive),
+        _instance_key(amg, keepalive),
     )
     cache = pop.__dict__.get("_solve_cache")
     if cache is None:
@@ -279,6 +308,11 @@ def sharded_solve(
     )
     jitted = jax.jit(sharded)
     cache[cache_key] = jitted
+    # Pin every id-keyed object so its id cannot be recycled into a false
+    # cache hit while this entry lives ("_keepalive" is a string key; real
+    # entries are keyed by tuples, so no collision).
+    pins = pop.__dict__.setdefault("_solve_cache_pins", [])
+    pins.extend(keepalive)
     res = jitted(*args)
     x_global = unpartition_vector(pop, res.x)
     return res._replace(x=x_global)

@@ -317,12 +317,10 @@ def sharded_sliced_solve(
     args = (bp, xp0) + ps.op_arrays() + tuple(extras[k] for k in extra_keys)
     # Program cache (same contract as sharded_solve): repeated solves with
     # the same configuration must not re-trace.
-    kw_key = tuple(
-        sorted(
-            (k, v if isinstance(v, (int, float, str, bool, type(None))) else id(v))
-            for k, v in solver_kw.items()
-        )
-    )
+    from stormx.parallel.sharded import _kw_key
+
+    keepalive = []
+    kw_key = _kw_key(solver_kw, keepalive)
     cache_key = (mesh, method.lower(), opts, extra_keys, overlap, kw_key)
     cache = ps.__dict__.get("_solve_cache")
     if cache is None:
@@ -341,5 +339,7 @@ def sharded_sliced_solve(
         )
         jitted = jax.jit(sharded)
         cache[cache_key] = jitted
+        pins = ps.__dict__.setdefault("_solve_cache_pins", [])
+        pins.extend(keepalive)
     res = jitted(*args)
     return res._replace(x=_unpartition_vec(ps, res.x))

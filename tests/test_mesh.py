@@ -548,3 +548,83 @@ class TestHexMesh:
         assert len(mesh.interior_faces()) == 12
         np.testing.assert_allclose(mesh.cell_volumes, 1.0 / 6.0, atol=1e-12)
         np.testing.assert_allclose(mesh.cell_volumes.sum(), 1.0, atol=1e-12)
+
+
+class TestRefine:
+    """Uniform red refinement (stormx.mesh.refine) — the mesh-size scaling
+    path the reference lacks (its largest problem is the 79,672-cell step,
+    Playground.cpp:176-210)."""
+
+    def test_triangle_counts_and_geometry(self):
+        from stormx.mesh import refine, structured_tri_rect
+
+        m = structured_tri_rect(5, 4)
+        r = refine(m)
+        assert r.num_cells == 4 * m.num_cells
+        # Euler bookkeeping: every old face splits in 2, every cell adds 3
+        # interior edges.
+        assert r.num_faces == 2 * m.num_faces + 3 * m.num_cells
+        np.testing.assert_allclose(
+            r.cell_volumes.sum(), m.cell_volumes.sum(), rtol=1e-12
+        )
+        # Children are interleaved per parent: rows 4c..4c+3 partition
+        # parent c's volume.
+        np.testing.assert_allclose(
+            r.cell_volumes.reshape(-1, 4).sum(1), m.cell_volumes, rtol=1e-12
+        )
+        assert (r.cell_volumes > 0).all()
+
+    def test_boundary_labels_inherited_2d(self):
+        from stormx.mesh import read_tetgen, refine
+
+        m = read_tetgen("/root/reference/tests/_data/mesh/step.1.")
+        r = refine(m)
+        for lab in range(1, m.num_labels):
+            assert r.num_faces_with_label(lab) == 2 * m.num_faces_with_label(lab)
+
+    def test_tetrahedron_counts_and_geometry(self):
+        from stormx.mesh import refine, structured_tet_box
+
+        m = structured_tet_box(2, 2, 2)
+        r = refine(m)
+        assert r.num_cells == 8 * m.num_cells
+        np.testing.assert_allclose(
+            r.cell_volumes.reshape(-1, 8).sum(1), m.cell_volumes, rtol=1e-12
+        )
+        assert (r.cell_volumes > 0).all()
+        # Boundary triangles split in 4.
+        assert len(r.boundary_faces()) == 4 * len(m.boundary_faces())
+
+    def test_poisson_error_decreases_under_refinement(self):
+        """Discretization error of the FVM Laplacian halves order-2-ish under
+        refinement — the end-to-end correctness oracle for the refined
+        topology (wrong midpoint wiring would destroy convergence)."""
+        from stormx.fvm.divgrad import assemble_laplacian
+        from stormx.mesh import refine, structured_tri_rect
+        from stormx.solvers import SolverOptions, cg, make_operator
+        import jax.numpy as jnp
+
+        errs = []
+        m = structured_tri_rect(8, 8)
+        for _ in range(2):
+            # -∇²u = 2π² cos(πx) cos(πy): homogeneous-Neumann-compatible
+            # (matches the no-flux Laplacian), zero-mean RHS; compare modulo
+            # the constant nullspace.
+            L = assemble_laplacian(m)
+            csr = L.to_csr()
+            xc, yc = m.cell_centers[:, 0], m.cell_centers[:, 1]
+            u_exact = np.cos(np.pi * xc) * np.cos(np.pi * yc)
+            f = 2 * np.pi**2 * u_exact * m.cell_volumes
+            op = make_operator(csr.matvec)
+            res = cg(
+                op, jnp.asarray(f), jnp.zeros(m.num_cells),
+                options=SolverOptions(absolute_tolerance=1e-12,
+                                      relative_tolerance=1e-12),
+            )
+            u = np.asarray(res.x)
+            V = m.cell_volumes
+            u = u - (V * u).sum() / V.sum()
+            ue = u_exact - (V * u_exact).sum() / V.sum()
+            errs.append(float(np.sqrt((V * (u - ue) ** 2).sum())))
+            m = refine(m)
+        assert errs[1] < 0.4 * errs[0], errs
