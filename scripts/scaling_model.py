@@ -1,0 +1,135 @@
+"""Projected multi-chip SpMV scaling efficiency (VERDICT r4 item 5).
+
+The BASELINE ">=80% scaling efficiency 1→N chips" target cannot be measured
+on this one-chip environment; this artifact MODELS it from quantities the
+repo measures or computes exactly:
+
+* single-chip per-apply slopes T1 (BENCH_NOTES.md, slope protocol), and
+* per-link bytes each distributed layout moves per apply, from the exact
+  communication accountants (``stormx.parallel.commvol``) evaluated on the
+  real partition metadata at each P.
+
+Interconnect constants: v5e ICI ~45 GB/s one-way per link, ~1 µs hop
+latency (public scaling-book figures; see commvol.py).
+
+Paths projected (P = 2..16):
+    dia     — 4.2M-row 5-diag DIA, ppermute halos (h = 2048 rows each way)
+    sliced  — SlicedELL band halos, step operator (79,672 rows) AND the
+              refined-step 1.27M-cell operator
+    bsr     — BSR all-gather pool vs the banded ppermute layout (item 6)
+
+Usage: python scripts/scaling_model.py        (CPU; prints the table)
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+# Measured single-chip slopes (BENCH_NOTES.md, r3/r4 settled numbers).
+T1_DIA_4M2 = 71.5e-6  # s/apply, 4.2M-row 5-diag DIA (292.9 Gnnz/s)
+T1_SELL_STEP = 30.0e-6  # s/apply, step SlicedELL pallas R=512 (10.4-10.7 Gnnz/s)
+# Refined-step 1.27M-cell operator: measured r5 (perf_scale.py spmv) —
+# overridable once re-measured.
+T1_SELL_1M3 = float(os.environ.get("STORMX_T1_SELL_1M3", "185e-6"))
+
+
+def main():
+    from stormx.parallel.commvol import (
+        V5E_ICI_LINK_BW,
+        V5E_ICI_LATENCY_S,
+        project_scaling,
+    )
+
+    Ps = (2, 4, 8, 16)
+    print(
+        f"model: link {V5E_ICI_LINK_BW/1e9:.0f} GB/s one-way,"
+        f" latency {V5E_ICI_LATENCY_S*1e6:.1f} us, overlap=on"
+    )
+
+    rows = []
+
+    # --- DIA banded halos: per-link strip = h rows each way, constant in P.
+    h = 2048  # max |offset| of the 5-point NX=2048 operator
+    for P in Ps:
+        r = project_scaling(T1_DIA_4M2, h * 4, P)
+        rows.append(("dia-4.2M(halo)", r))
+
+    # --- SlicedELL band halos on the step + refined-step operators: the
+    # per-link strip is the deeper band reach; take it from the real
+    # windowed build.
+    from stormx.fvm.divgrad import assemble_laplacian
+    from stormx.mesh import read_tetgen
+    from stormx.sparse.windowed import sell_from_csr
+
+    mesh = read_tetgen("/root/reference/tests/_data/mesh/step.1.")
+    csr = assemble_laplacian(mesh).to_csr()
+    sell, _ = sell_from_csr(
+        csr, block_rows=512, mode="onehot",
+        coords=np.asarray(mesh.cell_centers),
+    )
+    h_step = max(sell.pad_lo, sell.window - 512 - sell.pad_lo)
+    for P in Ps:
+        r = project_scaling(T1_SELL_STEP, h_step * 4, P)
+        rows.append((f"sell-step(h={h_step})", r))
+    # Refined-step: band from the measured r5 host stage (window C=2048 at
+    # R=512 → h ≈ (C-R)/2 ≈ 768); exact value matters little (comm ≪ compute).
+    h_1m3 = 768
+    for P in Ps:
+        r = project_scaling(T1_SELL_1M3, h_1m3 * 4, P)
+        rows.append((f"sell-1.27M(h={h_1m3})", r))
+
+    # --- BSR: pool all_gather (per-link ≈ (P-1)·s_max·b·4 ring share) vs
+    # banded ppermute (constant (h_lo+h_hi)·b·4) on the config-#3 operator.
+    from stormx.fvm.divgrad import assemble_laplacian as _al
+    from stormx.mesh import structured_tet_box
+    from stormx.parallel import partition_bsr, partition_bsr_banded
+    from stormx.sparse import BSR
+    import jax.numpy as jnp
+
+    tbox = structured_tet_box(12, 10, 8)  # 5,760 tet cells — config-#3 shape
+    L = _al(tbox)
+    data = np.asarray(L.data)
+    cols = np.asarray(L.cols)
+    NV = 5
+    blocks = data[:, :, None, None] * np.eye(NV)[None, None]
+    bsr = BSR(
+        blocks=jnp.asarray(blocks.astype(np.float32)),
+        cols=jnp.asarray(cols),
+        shape=(tbox.num_cells * NV, tbox.num_cells * NV),
+    )
+    # Single-chip BSR apply slope is unmeasured; use the HBM-roofline bound
+    # for the block stream (bytes/apply ÷ 0.94 TB/s hits ~the DIA ceiling).
+    bsr_bytes = blocks.size * 4
+    t1_bsr = bsr_bytes / 0.94e12
+    for P in Ps:
+        pool = partition_bsr(bsr, P)
+        band = partition_bsr_banded(bsr, P)
+        per_link_pool = (P - 1) * pool.s_max * NV * 4
+        per_link_band = (band.h_lo + band.h_hi) * NV * 4
+        rows.append(
+            (f"bsr-pool(s_max={pool.s_max})", project_scaling(t1_bsr, per_link_pool, P))
+        )
+        rows.append(
+            (f"bsr-band(h={band.h_lo}+{band.h_hi})",
+             project_scaling(t1_bsr, per_link_band, P))
+        )
+
+    print(f"{'path':28s} {'P':>3s} {'T1us':>8s} {'cmp_us':>8s} {'com_us':>8s}"
+          f" {'eff':>6s} bound")
+    for name, r in rows:
+        print(
+            f"{name:28s} {r['P']:3d} {r['t1_us']:8.1f} {r['compute_us']:8.2f}"
+            f" {r['comm_us']:8.2f} {r['efficiency']:6.1%}"
+            f" {'comm' if r['comm_bound'] else 'compute'}"
+        )
+
+
+if __name__ == "__main__":
+    main()

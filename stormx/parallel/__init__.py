@@ -20,6 +20,8 @@ from stormx.parallel.partition import (
     unpartition_vector,
 )
 from stormx.parallel.bsr import (
+    PartitionedBandedBSR,
+    partition_bsr_banded,
     PartitionedBSR,
     partition_bsr,
     partition_bsr_vector,
@@ -40,6 +42,8 @@ __all__ = [
     "DistributedBlockDiaAmg",
     "PartitionedBSR",
     "partition_bsr",
+    "partition_bsr_banded",
+    "PartitionedBandedBSR",
     "partition_bsr_vector",
     "unpartition_bsr_vector",
     "sharded_bsr_solve",

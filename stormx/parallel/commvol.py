@@ -29,6 +29,10 @@ __all__ = [
     "dia_halo_volume",
     "sliced_band_volume",
     "bsr_pool_volume",
+    "bsr_band_volume",
+    "project_scaling",
+    "V5E_ICI_LINK_BW",
+    "V5E_ICI_LATENCY_S",
 ]
 
 
@@ -82,3 +86,64 @@ def bsr_pool_volume(pb) -> dict:
     moved = P * (P - 1) * s_max * b
     owned = int(np.count_nonzero(np.asarray(pb.blocks)))
     return _report(moved, owned, np.asarray(pb.blocks).dtype.itemsize)
+
+
+def bsr_band_volume(pb) -> dict:
+    """Banded BSR path (:class:`stormx.parallel.bsr.PartitionedBandedBSR`):
+    two ppermute halo strips of (h_lo + h_hi) block rows × b per apply —
+    constant per link, O(P) total."""
+    P, b = pb.num_parts, pb.block_size
+    moved = (P - 1) * (pb.h_lo + pb.h_hi) * b
+    owned = int(np.count_nonzero(np.asarray(pb.blocks)))
+    return _report(moved, owned, np.asarray(pb.blocks).dtype.itemsize)
+
+
+# -- Scaling-efficiency projection (VERDICT r4 item 5) -----------------------
+#
+# The >=80% 1→N SpMV scaling target (BASELINE.md) cannot be *measured* on one
+# chip; it CAN be modeled from quantities this repo does measure or compute
+# exactly: the single-chip per-apply time T1 (slope protocol, BENCH_NOTES.md)
+# and the per-link bytes each distributed layout moves per apply (the
+# *_volume accountants above).  Interconnect constants for TPU v5e (public
+# "How to Scale Your Model" book, jax-ml.github.io/scaling-book): one-way
+# ICI bandwidth ~4.5e10 B/s per link, ~1 µs collective hop latency.
+
+V5E_ICI_LINK_BW = 4.5e10  # bytes/s, one-way, per ICI link
+V5E_ICI_LATENCY_S = 1.0e-6  # per-hop collective latency
+
+
+def project_scaling(
+    t1_apply_s: float,
+    per_link_bytes: float,
+    num_parts: int,
+    *,
+    link_bw: float = V5E_ICI_LINK_BW,
+    latency_s: float = V5E_ICI_LATENCY_S,
+    overlap: bool = True,
+) -> dict:
+    """Project P-device SpMV scaling efficiency from first principles.
+
+    ``t1_apply_s``: measured single-chip per-apply slope.
+    ``per_link_bytes``: bytes the busiest link carries per apply (halo
+    layouts: the one-direction strip; all-gather pools: the (P−1)/P ring
+    share each device relays).
+
+    Model: per-device compute is T1/P (the kernel is bandwidth-bound, so
+    throughput per chip is size-independent until shards get tiny); the
+    communication term is ``latency + bytes/link_bw``, fully hidden behind
+    interior compute when ``overlap`` (the measured-bit-identical overlap
+    paths in ``parallel/banded.py``/``sliced.py``) up to the point where
+    comm exceeds compute.  Efficiency = T1 / (P · T_P).
+    """
+    compute = t1_apply_s / num_parts
+    comm = latency_s + per_link_bytes / link_bw
+    t_p = max(compute, comm) if overlap else compute + comm
+    return {
+        "P": num_parts,
+        "t1_us": t1_apply_s * 1e6,
+        "tP_us": t_p * 1e6,
+        "compute_us": compute * 1e6,
+        "comm_us": comm * 1e6,
+        "efficiency": t1_apply_s / (num_parts * t_p),
+        "comm_bound": comm > compute,
+    }

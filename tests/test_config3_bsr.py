@@ -10,6 +10,7 @@ BSR path (``stormx.parallel.bsr``) must agree with each other and with a
 dense ground truth.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -130,3 +131,76 @@ class TestConfig3:
         assert bool(plain.converged) and bool(pre.converged)
         assert int(pre.num_iterations) <= int(plain.num_iterations)
         np.testing.assert_allclose(np.asarray(pre.x), dense_truth, atol=1e-6)
+
+    @pytest.mark.parametrize("parts", [2, 8])
+    def test_banded_layout_matches_pool_and_serial(
+        self, tet_problem, dense_truth, parts
+    ):
+        """Banded (neighbor-ppermute) BSR layout — same solution and
+        partition-invariant history as the all-gather pool layout, with
+        constant per-link comm bytes (VERDICT r4 item 6)."""
+        from stormx.parallel import partition_bsr_banded
+        from stormx.parallel.commvol import bsr_band_volume, bsr_pool_volume
+
+        mesh, bsr, b = tet_problem
+        serial = gmres(
+            make_operator(bsr.matvec), jnp.asarray(b),
+            jnp.zeros(len(b)), restart=30, options=OPTS,
+        )
+        pb = partition_bsr_banded(bsr, parts)
+        res = sharded_bsr_solve(
+            pb, b, mesh=make_device_mesh(parts), method="gmres",
+            restart=30, options=OPTS,
+        )
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), dense_truth, atol=1e-6)
+        k = min(int(res.num_iterations), int(serial.num_iterations))
+        np.testing.assert_allclose(
+            np.asarray(res.history)[: k + 1],
+            np.asarray(serial.history)[: k + 1],
+            rtol=1e-8,
+        )
+        # Block-Jacobi works on this layout too (diag sits at h_lo + r).
+        pre = sharded_bsr_solve(
+            pb, b, mesh=make_device_mesh(parts), method="gmres",
+            restart=30, options=OPTS, block_jacobi=True,
+        )
+        assert bool(pre.converged)
+        np.testing.assert_allclose(np.asarray(pre.x), dense_truth, atol=1e-6)
+        assert int(pre.num_iterations) <= int(res.num_iterations)
+        # Comm scaling: banded layout moves a CONSTANT strip per link while
+        # the pool's all_gather grows with P.
+        vol_band = bsr_band_volume(pb)
+        per_link = vol_band["moved_elems"] // (parts - 1)
+        assert per_link == (pb.h_lo + pb.h_hi) * pb.block_size
+        pool = partition_bsr(bsr, parts)
+        vol_pool = bsr_pool_volume(pool)
+        if parts == 8:
+            assert vol_band["moved_elems"] < vol_pool["moved_elems"]
+
+    def test_banded_matvec_matches_bsr(self, tet_problem):
+        """Sharded banded matvec == serial BSR matvec (bit-exact per row:
+        same block-column order within each row)."""
+        from jax.sharding import PartitionSpec as P
+
+        from stormx.parallel import partition_bsr_banded
+        from stormx.parallel.bsr import partition_bsr_vector, unpartition_bsr_vector
+
+        mesh, bsr, b = tet_problem
+        n = bsr.shape[0]
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal(n)
+        y_serial = np.asarray(bsr.matvec(jnp.asarray(x)))
+        for overlap in (False, True):
+            pb = partition_bsr_banded(bsr, 8)
+            local = pb.local_matvec("parts", overlap=overlap)
+            xp = partition_bsr_vector(pb, x)
+            fn = jax.shard_map(
+                lambda xl, bl, cl: local(xl[0], bl[0], cl[0])[None],
+                mesh=make_device_mesh(8),
+                in_specs=(P("parts"), P("parts"), P("parts")),
+                out_specs=P("parts"),
+            )
+            yp = fn(xp, pb.blocks, pb.cols)
+            y = np.asarray(unpartition_bsr_vector(pb, yp))
+            np.testing.assert_allclose(y, y_serial, rtol=1e-12, atol=1e-12)

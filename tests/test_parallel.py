@@ -841,3 +841,35 @@ def test_sharded_dia_solve_caches_program():
         options=SolverOptions(num_iterations=7),
     )
     assert len(pdia.__dict__["_solve_cache"]) == 2
+
+
+def test_scaling_projection_model():
+    """Gate the scaling-efficiency projection (VERDICT r4 item 5): with the
+    measured single-chip slopes and exact per-link halo bytes, the banded
+    paths stay compute-bound through P=16 — the modeled basis for the
+    BASELINE ">=80% efficiency" claim — and the model degrades monotonically
+    once comm dominates."""
+    from stormx.parallel.commvol import project_scaling
+
+    # DIA 4.2M: T1 = 71.5 us (BENCH_NOTES), halo strip 2048 rows f32/link.
+    for P in (2, 4, 8, 16):
+        r = project_scaling(71.5e-6, 2048 * 4, P)
+        assert r["efficiency"] >= 0.8, r
+        assert not r["comm_bound"]
+    # SlicedELL step: T1 = 30 us, band reach 260 rows.
+    for P in (2, 4, 8, 16):
+        r = project_scaling(30.0e-6, 260 * 4, P)
+        assert r["efficiency"] >= 0.8, r
+    # A comm-heavy pool: efficiency must fall below the halo layout's and
+    # shrink with P (the quantitative argument for the banded BSR layout).
+    effs = [
+        project_scaling(3.1e-6, (P - 1) * 360 * 5 * 4, P)["efficiency"]
+        for P in (4, 8, 16)
+    ]
+    assert effs[0] > effs[1] > effs[2]
+    band = project_scaling(3.1e-6, 378 * 5 * 4, 16)["efficiency"]
+    assert band > effs[2]
+    # Non-overlapped projection is never better than overlapped.
+    r_ov = project_scaling(71.5e-6, 2048 * 4, 8, overlap=True)
+    r_no = project_scaling(71.5e-6, 2048 * 4, 8, overlap=False)
+    assert r_no["efficiency"] <= r_ov["efficiency"]
