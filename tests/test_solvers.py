@@ -276,6 +276,60 @@ class TestNonlinear:
         np.testing.assert_allclose(res.x, x_true, atol=1e-7)
 
 
+    def test_newton_armijo_globalizes_where_full_step_diverges(self, rng):
+        """VERDICT r4 item 8: a stiff nonlinear residual (dominant atan
+        saturation — the classic full-step Newton divergence case, here on
+        an FVM Laplacian backbone) defeats the undamped iteration; Armijo
+        backtracking converges."""
+        from stormx.fvm.divgrad import assemble_laplacian
+        from stormx.mesh import structured_tri_rect
+
+        mesh = structured_tri_rect(6, 6)
+        Lcsr = assemble_laplacian(mesh).to_csr()
+        n = mesh.num_cells
+
+        def A(x):
+            return 0.01 * Lcsr.matvec(x) + jnp.arctan(x)
+
+        x_true = jnp.asarray(rng.standard_normal(n) * 0.2)
+        b = A(x_true)
+        x0 = jnp.full(n, 20.0)  # far into the atan-saturated regime
+        opts = SolverOptions(
+            absolute_tolerance=1e-9, relative_tolerance=1e-12,
+            num_iterations=40,
+        )
+        plain = newton(A, b, x0, options=opts)
+        damped = newton(A, b, x0, options=opts, line_search="armijo")
+        assert not bool(plain.converged)  # overshoot oscillation/divergence
+        assert bool(damped.converged)
+        np.testing.assert_allclose(damped.x, x_true, atol=1e-6)
+
+    def test_jfnk_eisenstat_walker_forcing(self, rng):
+        """EW choice-2 forcing converges to the same root as the fixed
+        1e-8 inner tolerance and never loosens the OUTER tolerance."""
+        L = jnp.asarray(make_spd_matrix(12, rng) / 10)
+
+        def A(x):
+            return L @ x + x**3
+
+        x_true = jnp.asarray(rng.standard_normal(12) * 0.5)
+        b = A(x_true)
+        opts = SolverOptions(absolute_tolerance=1e-9, relative_tolerance=1e-9)
+        fixed = jfnk(A, b, jnp.zeros(12), options=opts)
+        ew = jfnk(A, b, jnp.zeros(12), options=opts, forcing="ew")
+        assert bool(fixed.converged) and bool(ew.converged)
+        np.testing.assert_allclose(ew.x, x_true, atol=1e-6)
+        # EW's loose early solves may cost a few extra outer iterations but
+        # stay in the same regime (no runaway).
+        assert int(ew.num_iterations) <= 3 * int(fixed.num_iterations) + 5
+
+    def test_newton_rejects_unknown_line_search(self, rng):
+        with pytest.raises(ValueError):
+            newton(lambda x: x, jnp.zeros(3), jnp.zeros(3), line_search="wolfe")
+        with pytest.raises(ValueError):
+            jfnk(lambda x: x, jnp.zeros(3), jnp.zeros(3), forcing="kelley")
+
+
 class TestApi:
     def test_solve_dispatch(self, spd):
         a, b, x_true = spd
