@@ -128,8 +128,9 @@ def sell_matvec_pallas(sell, x, *, interpret: bool = False, mask_mode: str = "wh
     (measured ~1e-7 relative on the step operator), not bit-exact.
 
     Grid-step overhead vs masked-chunk waste is balanced by the window
-    size: ``block_rows=512`` is the measured optimum (9.9 Gnnz/s,
-    BENCH_NOTES.md).  A "G independent 128-row blocks per grid step"
+    size: ``block_rows=512`` is the measured optimum (10.4–10.7 Gnnz/s by
+    the settled ≥2000-rep slope protocol; the earlier "9.9" table used
+    100/400-rep chains — BENCH_NOTES.md).  A "G independent 128-row blocks per grid step"
     variant was tried twice and both formulations hung the remote Mosaic
     compile (CLAUDE.md lore) — do not resurrect it without a fresh
     toolchain.

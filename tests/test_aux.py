@@ -211,3 +211,27 @@ class TestDebug:
         pop = partition_csr(csr_from_dense(a), 4)
         b = rng.standard_normal(32)
         assert_deterministic(lambda: np.asarray(sharded_solve(pop, b, method="cg").x))
+
+
+class TestViz3D:
+    """3-D matplotlib rendering (Vulture parity closure, VERDICT r4 item 7:
+    boundary surface by label + cell field on the boundary)."""
+
+    def test_visualize_mesh_3d_png(self, tmp_path):
+        from stormx.io import visualize_mesh
+        from stormx.mesh import structured_tet_box
+
+        mesh = structured_tet_box(3, 2, 2)
+        out = tmp_path / "mesh3d.png"
+        visualize_mesh(mesh, str(out))
+        assert out.exists() and out.stat().st_size > 2000
+
+    def test_plot_cell_field_3d_png(self, tmp_path, rng):
+        from stormx.io import plot_cell_field
+        from stormx.mesh import structured_tet_box
+
+        mesh = structured_tet_box(3, 2, 2)
+        out = tmp_path / "field3d.png"
+        plot_cell_field(mesh, rng.standard_normal(mesh.num_cells), str(out),
+                        title="3-D field")
+        assert out.exists() and out.stat().st_size > 2000
