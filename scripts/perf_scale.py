@@ -284,6 +284,89 @@ def cg(levels):
         )
 
 
+def amg(levels):
+    """Aggregation-AMG at scale: setup wall time per level (host) and
+    CG+AMG vs CG+Jacobi on chip, fine-level smoothing routed through the
+    Pallas kernel (coarse tail stays ELL gathers)."""
+    jax = setup()
+    import jax.numpy as jnp
+
+    from stormx.ops.pallas_sell import sell_matvec_pallas
+    from stormx.precond import JacobiPreconditioner
+    from stormx.precond.multigrid import AmgPreconditioner
+    from stormx.solvers import SolverOptions, cg as cg_solve, make_operator
+    from stormx.sparse.formats import CSR
+    from stormx.sparse.windowed import sell_from_csr
+
+    csr, centers, _ = build_operator(levels)
+    n = csr.shape[0]
+    sell, perm = build_sell(csr, centers, R=512)
+    # Permuted-space CSR (the ordering the pallas operator applies in).
+    rp = np.asarray(csr.row_ptr)
+    idx = np.asarray(csr.indices)
+    dat = np.asarray(csr.data)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    rows = inv[np.repeat(np.arange(n), np.diff(rp))]
+    cols = inv[idx]
+    order = np.lexsort((cols, rows))
+    rp2 = np.zeros(n + 1, np.int64)
+    np.add.at(rp2, rows + 1, 1)
+    csr_p = CSR(
+        data=jnp.asarray(dat[order]),
+        indices=jnp.asarray(cols[order].astype(np.int32)),
+        row_ptr=jnp.asarray(np.cumsum(rp2).astype(np.int32)),
+        shape=(n, n),
+    )
+    t0 = time.time()
+    pre = AmgPreconditioner(
+        csr_p, num_sweeps=1,
+        fine_matvec=lambda v: sell_matvec_pallas(sell, v.astype(jnp.float32)),
+    )
+    print(
+        f"AMG setup: {time.time()-t0:.1f}s, levels "
+        f"{[lv['n'] for lv in pre._levels]} + coarse"
+        f" {pre._coarse_inv.shape[0]}",
+        flush=True,
+    )
+    # The hierarchy builds in f64 (host exactness); run the cycle in f32.
+    for lv in pre._levels:
+        lv["ell_vals"] = lv["ell_vals"].astype(jnp.float32)
+        lv["inv_diag"] = lv["inv_diag"].astype(jnp.float32)
+    pre._coarse_inv = pre._coarse_inv.astype(jnp.float32)
+
+    op = make_operator(lambda v: sell_matvec_pallas(sell, v))
+    rng = np.random.default_rng(5)
+    u = rng.standard_normal(n).astype(np.float32)
+    b = np.asarray(csr.matvec(jnp.asarray(u)))[perm]
+    diag = np.zeros(n, np.float32)
+    r_of = np.repeat(np.arange(n), np.diff(rp))
+    dm = idx == r_of
+    np.add.at(diag, r_of[dm], dat[dm])
+    opts = SolverOptions(relative_tolerance=1e-6, num_iterations=4000)
+    for name, p in (
+        ("cg+jacobi", JacobiPreconditioner(diag=jnp.asarray(diag[perm]))),
+        ("cg+amg", pre),
+    ):
+        sol = jax.jit(
+            lambda bb, p=p: cg_solve(
+                op, bb, jnp.zeros_like(bb), precond=p, options=opts
+            )
+        )
+        res = sol(jnp.asarray(b))
+        res.x.block_until_ready()
+        t0 = time.perf_counter()
+        res = sol(jnp.asarray(b * 2.0))
+        res.x.block_until_ready()
+        dt = time.perf_counter() - t0
+        it = int(res.num_iterations)
+        print(
+            f"{name}: {it} iters, {dt:.2f}s ({dt/max(it,1)*1e3:.2f} ms/iter),"
+            f" converged={bool(res.converged)}",
+            flush=True,
+        )
+
+
 def ch(levels):
     """Assembled Cahn–Hilliard implicit step at scale (the app path)."""
     setup()
@@ -321,7 +404,7 @@ def main():
     levels = 2
     if "--levels" in sys.argv:
         levels = int(sys.argv[sys.argv.index("--levels") + 1])
-    {"host": host, "spmv": spmv, "cg": cg, "ch": ch}[stage](levels)
+    {"host": host, "spmv": spmv, "cg": cg, "ch": ch, "amg": amg}[stage](levels)
 
 
 if __name__ == "__main__":

@@ -121,9 +121,15 @@ class AmgPreconditioner(Preconditioner):
     """
 
     def __init__(self, csr, *, num_sweeps: int = 1, coarse_size: int = 64,
-                 max_levels: int = 10, omega: float = 2.0 / 3.0):
+                 max_levels: int = 10, omega: float = 2.0 / 3.0,
+                 fine_matvec=None):
         self.num_sweeps = num_sweeps
         self.omega = omega
+        # Optional fast fine-level operator (e.g. the Pallas SlicedELL
+        # kernel): level-0 smoothing/residual matvecs route through it
+        # instead of the O(serialized-gather) ELL form — on TPU the fine
+        # level dominates the V-cycle cost, the coarse tail stays ELL.
+        self._fine_matvec = fine_matvec
         self._levels = []
         row_ptr = np.asarray(csr.row_ptr).astype(np.int64)
         cols = np.asarray(csr.indices).astype(np.int64)
@@ -177,12 +183,14 @@ class AmgPreconditioner(Preconditioner):
         return self
 
     # -- device-side V-cycle ------------------------------------------------
-    def _matvec(self, lvl, x):
+    def _matvec(self, lvl, x, k=None):
+        if k == 0 and self._fine_matvec is not None:
+            return self._fine_matvec(x)
         return (lvl["ell_vals"] * x[lvl["ell_cols"]]).sum(axis=1)
 
-    def _smooth(self, lvl, x, b):
+    def _smooth(self, lvl, x, b, k=None):
         for _ in range(self.num_sweeps):
-            r = b - self._matvec(lvl, x)
+            r = b - self._matvec(lvl, x, k)
             x = x + self.omega * lvl["inv_diag"] * r
         return x
 
@@ -190,12 +198,12 @@ class AmgPreconditioner(Preconditioner):
         if k == len(self._levels):
             return self._coarse_inv @ b
         lvl = self._levels[k]
-        x = self._smooth(lvl, jnp.zeros_like(b), b)
-        r = b - self._matvec(lvl, x)
+        x = self._smooth(lvl, jnp.zeros_like(b), b, k)
+        r = b - self._matvec(lvl, x, k)
         r_c = segment_sum(r, lvl["agg"], lvl["nc"])
         e_c = self._vcycle(k + 1, r_c)
         x = x + e_c[lvl["agg"]]
-        return self._smooth(lvl, x, b)
+        return self._smooth(lvl, x, b, k)
 
     def __call__(self, r):
         leaves = jnp.asarray(r)

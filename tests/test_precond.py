@@ -627,3 +627,29 @@ class TestBlockDiaAmg:
 
         with pytest.raises(ValueError, match="divide"):
             BlockDiaAmg(self._poisson_dia(16), group=3)
+
+
+def test_amg_fine_matvec_routing_matches():
+    """AmgPreconditioner(fine_matvec=...) must apply the identical V-cycle
+    when the supplied operator equals the built-in level-0 ELL matvec (the
+    hook exists so TPU runs can route the fine level through the Pallas
+    kernel)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stormx.fvm.divgrad import assemble_laplacian
+    from stormx.mesh import structured_tri_rect
+    from stormx.precond.multigrid import AmgPreconditioner
+
+    mesh = structured_tri_rect(12, 12)
+    csr = assemble_laplacian(mesh).to_csr()
+    base = AmgPreconditioner(csr, num_sweeps=2)
+    lvl0 = base._levels[0]
+
+    def mv(x):
+        return (lvl0["ell_vals"] * x[lvl0["ell_cols"]]).sum(axis=1)
+
+    routed = AmgPreconditioner(csr, num_sweeps=2, fine_matvec=mv)
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.standard_normal(mesh.num_cells))
+    np.testing.assert_array_equal(np.asarray(base(r)), np.asarray(routed(r)))
