@@ -50,17 +50,19 @@ def build_operator(levels: int, *, verbose: bool = True):
     Caches the ordered CSR arrays on /tmp so the TPU stages skip the ~25 s
     host build.
     """
-    import jax.numpy as jnp
-
     from stormx.sparse.formats import CSR
 
     path = CACHE.format(lv=levels)
     if os.path.exists(path):
+        # HOST arrays only: a jnp.asarray here ships ~40 MB through the
+        # ~28 MB/s relay tunnel and every later np.asarray pulls it back —
+        # measured 80-200 s of pure transfer per stage.  Device arrays are
+        # created once, inside the SlicedELL build.
         z = np.load(path)
         csr = CSR(
-            data=jnp.asarray(z["data"]),
-            indices=jnp.asarray(z["indices"]),
-            row_ptr=jnp.asarray(z["row_ptr"]),
+            data=z["data"],
+            indices=z["indices"],
+            row_ptr=z["row_ptr"],
             shape=(int(z["n"]), int(z["n"])),
         )
         return csr, z["centers"], z["volumes"]
@@ -86,24 +88,31 @@ def build_operator(levels: int, *, verbose: bool = True):
             flush=True,
         )
     data = np.asarray(csr64.data, dtype=np.float32)
+    indices = np.asarray(csr64.indices)
+    row_ptr = np.asarray(csr64.row_ptr)
     np.savez(
         path,
         data=data,
-        indices=np.asarray(csr64.indices),
-        row_ptr=np.asarray(csr64.row_ptr),
+        indices=indices,
+        row_ptr=row_ptr,
         n=mesh.num_cells,
         centers=np.asarray(mesh.cell_centers),
         volumes=np.asarray(mesh.cell_volumes),
     )
-    import jax.numpy as jnp
-
-    csr = CSR(
-        data=jnp.asarray(data),
-        indices=csr64.indices,
-        row_ptr=csr64.row_ptr,
-        shape=csr64.shape,
-    )
+    csr = CSR(data=data, indices=indices, row_ptr=row_ptr, shape=csr64.shape)
     return csr, np.asarray(mesh.cell_centers), np.asarray(mesh.cell_volumes)
+
+
+def _host_matvec(csr, x):
+    """f32 result of A@x computed on host in f64 (no device round trip)."""
+    rp = np.asarray(csr.row_ptr)
+    rows = np.repeat(np.arange(csr.shape[0]), np.diff(rp))
+    y = np.zeros(csr.shape[0], np.float64)
+    np.add.at(
+        y, rows,
+        np.asarray(csr.data, np.float64) * x[np.asarray(csr.indices)],
+    )
+    return y.astype(np.float32)
 
 
 def build_sell(csr, centers, R=512):
@@ -210,14 +219,25 @@ def spmv(levels):
     csr, centers, _ = build_operator(levels)
     n = csr.shape[0]
     nnz = int(np.asarray(csr.row_ptr)[-1])
-    sell, _ = build_sell(csr, centers, R=512)
-    # Compiled correctness at scale first (bit-exact vs the XLA onehot mode
-    # is the established oracle).
+    sell, perm = build_sell(csr, centers, R=512)
+    # Correctness at scale first, against a HOST CSR matvec oracle (the
+    # XLA onehot mode constant-folds a (nb,R,K,C) one-hot tensor — 41 GB
+    # at this scale — so the small-mesh compiled oracle cannot run here).
     import jax.numpy as jnp
 
     rng = np.random.default_rng(7)
-    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    y_ref = np.asarray(sell.matvec(x))
+    xp = rng.standard_normal(n).astype(np.float32)
+    x_nat = np.empty(n, np.float32)
+    x_nat[perm] = xp  # permuted vector v_p = v_nat[perm]
+    rp = np.asarray(csr.row_ptr)
+    rows = np.repeat(np.arange(n), np.diff(rp))
+    y_nat = np.zeros(n, np.float64)
+    np.add.at(
+        y_nat, rows,
+        np.asarray(csr.data, np.float64) * x_nat[np.asarray(csr.indices)],
+    )
+    y_ref = y_nat[perm]
+    x = jnp.asarray(xp)
     y_pal = np.asarray(sell_matvec_pallas(sell, x))
     rel = np.abs(y_pal - y_ref).max() / np.abs(y_ref).max()
     print(f"correctness at n={n}: rel {rel:.2e}")
@@ -257,7 +277,7 @@ def cg(levels):
     op = make_operator(lambda v: sell_matvec_pallas(sell, v))
     rng = np.random.default_rng(5)
     u = rng.standard_normal(n).astype(np.float32)
-    b = np.asarray(csr.matvec(jnp.asarray(u)))  # consistent rhs
+    b = _host_matvec(csr, u)  # consistent rhs, host-side
     b_p = jnp.asarray(b[perm])
     opts = SolverOptions(relative_tolerance=1e-6, num_iterations=4000)
 
@@ -313,9 +333,9 @@ def amg(levels):
     rp2 = np.zeros(n + 1, np.int64)
     np.add.at(rp2, rows + 1, 1)
     csr_p = CSR(
-        data=jnp.asarray(dat[order]),
-        indices=jnp.asarray(cols[order].astype(np.int32)),
-        row_ptr=jnp.asarray(np.cumsum(rp2).astype(np.int32)),
+        data=dat[order],
+        indices=cols[order].astype(np.int32),
+        row_ptr=np.cumsum(rp2).astype(np.int32),
         shape=(n, n),
     )
     t0 = time.time()
@@ -338,7 +358,7 @@ def amg(levels):
     op = make_operator(lambda v: sell_matvec_pallas(sell, v))
     rng = np.random.default_rng(5)
     u = rng.standard_normal(n).astype(np.float32)
-    b = np.asarray(csr.matvec(jnp.asarray(u)))[perm]
+    b = _host_matvec(csr, u)[perm]
     diag = np.zeros(n, np.float32)
     r_of = np.repeat(np.arange(n), np.diff(rp))
     dm = idx == r_of

@@ -35,9 +35,9 @@ jax.config.update("jax_platforms", "cpu")
 # Measured single-chip slopes (BENCH_NOTES.md, r3/r4 settled numbers).
 T1_DIA_4M2 = 71.5e-6  # s/apply, 4.2M-row 5-diag DIA (292.9 Gnnz/s)
 T1_SELL_STEP = 30.0e-6  # s/apply, step SlicedELL pallas R=512 (10.4-10.7 Gnnz/s)
-# Refined-step 1.27M-cell operator: measured r5 (perf_scale.py spmv) —
-# overridable once re-measured.
-T1_SELL_1M3 = float(os.environ.get("STORMX_T1_SELL_1M3", "185e-6"))
+# Refined-step 1.27M-cell operator: measured r5 (perf_scale.py spmv,
+# 400/1200-rep slope: 597 µs/apply, 8.53 Gnnz/s).
+T1_SELL_1M3 = float(os.environ.get("STORMX_T1_SELL_1M3", "597e-6"))
 
 
 def main():

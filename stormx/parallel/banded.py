@@ -187,6 +187,9 @@ def sharded_dia_solve(
     preconditioner (excludes ``precond_diag``).
     """
     opts = options or SolverOptions()
+    from stormx.parallel.sharded import _orthog_default
+
+    solver_kw = _orthog_default(method, solver_kw)
     solver_fn = SOLVERS[method.lower()]
     local_mv = pdia.local_matvec(AXIS, overlap=overlap)
 

@@ -368,6 +368,9 @@ def sharded_bsr_solve(
     with the inverted diagonal blocks (shard-local, partition-invariant)."""
     mesh = mesh or make_device_mesh(pb.num_parts)
     opts = options or SolverOptions()
+    from stormx.parallel.sharded import _orthog_default
+
+    solver_kw = _orthog_default(method, solver_kw)
     solver_fn = SOLVERS[method.lower()]
     local_mv = pb.local_matvec(AXIS)
     op_arrs = pb.op_arrays()

@@ -101,7 +101,9 @@ class ShardedNsProjection:
         nu = self.nu
         solver_fn = SOLVERS[self.method]
         opts = self.solver_kw.pop("options", None) or SolverOptions()
-        solver_kw = dict(self.solver_kw)
+        from stormx.parallel.sharded import _orthog_default
+
+        solver_kw = _orthog_default(self.method, dict(self.solver_kw))
         local_mv = pop.local_matvec(AXIS)
         extra_keys = tuple(self._extras)
 

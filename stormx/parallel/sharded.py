@@ -80,6 +80,25 @@ def _kw_key(solver_kw, keepalive):
     return tuple(sorted(items))
 
 
+_GMRES_FAMILY = frozenset({"gmres", "fgmres", "lgmres", "lfgmres"})
+
+
+def _orthog_default(method, solver_kw):
+    """CGS2 is the *distributed* GMRES-family default.
+
+    Each CGS2 pass is one batched (k+1, n)·(n,) product → 2 psums per
+    inner step at any basis length k, vs MGS's k+1 sequential
+    dot→psum→axpy round trips (latency-bound on a mesh).  Single-chip
+    wall time is a measured tie — 5.85 (MGS) vs 6.05 (CGS2) ms/iter on
+    the 4.2M-row DIA operator (BENCH_NOTES r5) — so the collective count
+    decides.  An explicit ``orthog=`` always wins; serial `gmres()` keeps
+    the reference-parity MGS default (``SolverGmres.hpp:157-162``).
+    """
+    if method.lower() in _GMRES_FAMILY and "orthog" not in solver_kw:
+        solver_kw = dict(solver_kw, orthog="cgs2")
+    return solver_kw
+
+
 def make_device_mesh(num_parts: int | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     num_parts = num_parts or len(devices)
@@ -160,6 +179,7 @@ def sharded_solve(
     """
     mesh = mesh or make_device_mesh(pop.num_parts)
     opts = options or SolverOptions()
+    solver_kw = _orthog_default(method, solver_kw)
     solver_fn = SOLVERS[method.lower()]
     local_mv = pop.local_matvec(AXIS, overlap=overlap)
 

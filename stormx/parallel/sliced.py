@@ -276,6 +276,9 @@ def sharded_sliced_solve(
     while-loop in one shard_map region.  ``b``/``x0``/result are global
     vectors in the ORIGINAL (pre-RCM) order."""
     opts = options or SolverOptions()
+    from stormx.parallel.sharded import _orthog_default
+
+    solver_kw = _orthog_default(method, solver_kw)
     solver_fn = SOLVERS[method.lower()]
     local_mv = ps.local_matvec(AXIS, overlap=overlap)
 

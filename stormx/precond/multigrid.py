@@ -28,7 +28,7 @@ from stormx.solvers.preconditioner import Preconditioner
 __all__ = ["AmgPreconditioner", "aggregate"]
 
 
-def aggregate(row_ptr, cols, vals, n) -> np.ndarray:
+def aggregate(row_ptr, cols, vals, n, theta: float = 0.25) -> np.ndarray:
     """Root-based aggregation over the strength graph — fully vectorized.
 
     Strength: |a_ij| ≥ θ·max_k |a_ik| with θ=0.25 (classic SA default).
@@ -41,8 +41,12 @@ def aggregate(row_ptr, cols, vals, n) -> np.ndarray:
     setup is O(nnz) NumPy per round — the 4.2M-row headline operator
     aggregates in seconds, not hours (the r2 per-row Python loop did not).
     Returns aggregate ids (n,).
+
+    ``theta``: strength threshold.  Galerkin coarse graphs densify (max
+    row degree grows 4→60 over six levels on the 1.27M-cell Laplacian),
+    so a FIXED θ=0.25 progressively over-filters until aggregation
+    stagnates; the hierarchy loop passes a per-level decayed θ.
     """
-    theta = 0.25
     row_ptr = np.asarray(row_ptr)
     cols = np.asarray(cols)
     av = np.abs(np.asarray(vals, dtype=np.float64))
@@ -135,15 +139,25 @@ class AmgPreconditioner(Preconditioner):
         cols = np.asarray(csr.indices).astype(np.int64)
         vals = np.asarray(csr.data).astype(np.float64)
         n = csr.shape[0]
-        for _ in range(max_levels):
+        for level in range(max_levels):
             if n <= coarse_size:
                 break
-            agg = aggregate(row_ptr, cols, vals, n)
+            # Decaying strength threshold (PyAMG-style): coarse Galerkin
+            # graphs densify, so θ=0.25 over-filters at depth — measured
+            # on the 1.27M-cell Laplacian the fixed-θ hierarchy stagnated
+            # at n=11,238 and handed an 11k² matrix to the dense coarse
+            # factor (minutes of SVD).  θ halves per level, and a
+            # stagnating level retries once more at θ/4 before giving up.
+            theta = max(0.25 * 0.5**level, 0.02)
+            agg = aggregate(row_ptr, cols, vals, n, theta)
             nc = int(agg.max()) + 1
             if nc >= 0.75 * n:
-                # Stagnating tail (densified Galerkin graphs aggregate
-                # poorly): stop and dense-solve here rather than stacking
-                # near-useless levels that cost a dispatch each per cycle.
+                agg = aggregate(row_ptr, cols, vals, n, theta / 4.0)
+                nc = int(agg.max()) + 1
+            if nc >= 0.75 * n:
+                # Still stagnating: stop and dense-solve here rather than
+                # stacking near-useless levels that cost a dispatch each
+                # per cycle.
                 break
             diag = np.zeros(n)
             rows = np.repeat(np.arange(n), np.diff(row_ptr))
@@ -173,11 +187,22 @@ class AmgPreconditioner(Preconditioner):
             )
             row_ptr, cols, vals = _coarsen(row_ptr, cols, vals, n, agg, nc)
             n = nc
-        # Dense coarse factor.
+        # Dense coarse factor (pseudo-inverse: pure-Neumann operators keep
+        # their nullspace down the Galerkin hierarchy).  Symmetric path
+        # uses eigh — ~10× cheaper than pinv's SVD when a stagnated
+        # hierarchy leaves a coarse problem in the thousands.
         dense = np.zeros((n, n))
         rows = np.repeat(np.arange(n), np.diff(row_ptr))
         dense[rows, cols] = vals
-        self._coarse_inv = jnp.asarray(np.linalg.pinv(dense))
+        if n > 256 and np.array_equal(dense, dense.T):
+            w, v = np.linalg.eigh(dense)
+            tol = np.abs(w).max() * n * np.finfo(np.float64).eps
+            inv_w = np.where(
+                np.abs(w) > tol, 1.0 / np.where(w == 0.0, 1.0, w), 0.0
+            )
+            self._coarse_inv = jnp.asarray((v * inv_w) @ v.T)
+        else:
+            self._coarse_inv = jnp.asarray(np.linalg.pinv(dense))
 
     def build(self, x, b, op):
         return self

@@ -242,8 +242,14 @@ def gmres(
 ) -> SolveResult:
     """Restarted GMRES (``SolverGmres.hpp:282-283``).
 
-    ``orthog``: "mgs" (reference parity) or "cgs2" (batched classical GS
-    with reorthogonalization — one MXU matvec + one psum per pass)."""
+    ``orthog``: "mgs" (reference parity, the serial default) or "cgs2"
+    (batched classical GS with reorthogonalization — one MXU matvec +
+    one psum per pass).  Measured on TPU v5e (4.2M-row DIA operator,
+    slope protocol, BENCH_NOTES r5) the two are a single-chip tie:
+    5.85 (MGS) vs 6.05 (CGS2) ms/iter.  Distributed, MGS costs k+1
+    sequential psum round trips per inner step vs CGS2's 2, so the
+    ``stormx.parallel`` solve entry points default GMRES-family methods
+    to ``orthog="cgs2"`` (see ``parallel.sharded._orthog_default``)."""
     return _base_gmres(
         op,
         b,

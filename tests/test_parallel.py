@@ -873,3 +873,28 @@ def test_scaling_projection_model():
     r_ov = project_scaling(71.5e-6, 2048 * 4, 8, overlap=True)
     r_no = project_scaling(71.5e-6, 2048 * 4, 8, overlap=False)
     assert r_no["efficiency"] <= r_ov["efficiency"]
+
+
+def test_distributed_gmres_defaults_to_cgs2(spd_problem):
+    """GMRES-family distributed solves default to CGS2 orthogonalization
+    (2 psums/inner step vs MGS's k+1; single-chip tie — BENCH_NOTES r5),
+    and the default must not change the converged answer."""
+    from stormx.parallel.sharded import _orthog_default
+
+    assert _orthog_default("gmres", {}) == {"orthog": "cgs2"}
+    assert _orthog_default("LGMRES", {}) == {"orthog": "cgs2"}
+    # Explicit choice wins; non-GMRES methods untouched.
+    assert _orthog_default("gmres", {"orthog": "mgs"}) == {"orthog": "mgs"}
+    assert _orthog_default("cg", {}) == {}
+
+    _, A, b = spd_problem
+    pop = partition_csr(A, 4)
+    res = sharded_solve(pop, b, method="gmres", mesh=make_device_mesh(4))
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    ref = np.asarray(
+        sharded_solve(
+            pop, b, method="gmres", orthog="mgs", mesh=make_device_mesh(4)
+        ).x
+    )
+    np.testing.assert_allclose(x, ref, rtol=1e-8, atol=1e-10)
