@@ -315,9 +315,15 @@ def csr_from_dense(mat) -> CSR:
     )
 
 
-def ell_from_csr(csr: CSR, row_width: int | None = None) -> ELL:
+def ell_from_csr(csr: CSR, row_width: int | None = None, *,
+                 device: bool = True) -> ELL:
     """Pad CSR rows to a fixed width.  For FVM cell-adjacency operators the
-    natural width is maxdeg+1 (≤ 4 for triangles), so padding waste is tiny."""
+    natural width is maxdeg+1 (≤ 4 for triangles), so padding waste is tiny.
+
+    ``device=False`` keeps the ELL leaves as host NumPy arrays — for build
+    intermediates that are immediately read back on host (a device round
+    trip costs ~40 MB each way through the remote-relay tunnel at the
+    1.27M-cell scale)."""
     row_ptr = np.asarray(csr.row_ptr)
     indices = np.asarray(csr.indices)
     data = np.asarray(csr.data)
@@ -333,6 +339,8 @@ def ell_from_csr(csr: CSR, row_width: int | None = None) -> ELL:
     row_of = np.repeat(np.arange(n), counts)
     cols[row_of, within] = indices
     vals[row_of, within] = data
+    if not device:
+        return ELL(data=vals, cols=cols, shape=csr.shape)
     return ELL(data=jnp.asarray(vals), cols=jnp.asarray(cols), shape=csr.shape)
 
 

@@ -255,18 +255,21 @@ def sell_from_csr(
         np.add.at(rp, new_rows + 1, 1)
         from stormx.sparse.formats import CSR
 
+        # HOST arrays on purpose: this CSR is a build intermediate that
+        # ell_from_csr immediately reads back with np.asarray.  On a
+        # remote-relay TPU backend a jnp.asarray here ships ~40 MB each
+        # way through the ~28 MB/s tunnel (measured 80-440 s per build at
+        # 1.27M rows); device arrays are created once, in _build.
         csr = CSR(
-            data=jnp.asarray(data[order]),
-            indices=jnp.asarray(new_cols[order].astype(np.int32)),
-            row_ptr=jnp.asarray(np.cumsum(rp).astype(np.int32)),
+            data=data[order],
+            indices=new_cols[order].astype(np.int32),
+            row_ptr=np.cumsum(rp).astype(np.int32),
             shape=csr.shape,
         )
     else:
         perm = np.arange(n, dtype=np.int64)
-    ell = ell_from_csr(csr)
-    return _build(
-        np.asarray(ell.data), np.asarray(ell.cols), csr.shape, block_rows, mode
-    ), perm
+    ell = ell_from_csr(csr, device=False)
+    return _build(ell.data, ell.cols, csr.shape, block_rows, mode), perm
 
 
 def auto_operator(
