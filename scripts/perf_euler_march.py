@@ -4,7 +4,8 @@ XLA gathers vs the Pallas banded-gather fast path, both orders.
 Per-step cost is a handful of face/cell gathers + VPU flux math, chained
 inside one jit (lax.fori_loop) — slope protocol, fresh inputs per run.
 
-Usage: timeout 560 python scripts/perf_euler_march.py
+Usage: timeout 560 python scripts/perf_euler_march.py [order] [bg|xla]
+       [--levels N]   # uniform red refinement (r5: N=2 → 1.27M cells)
 """
 
 import os
@@ -29,14 +30,27 @@ def main():
     from stormx.apps.euler import initial_state
     from stormx.fvm.bc import far_field_bc, slip_bc
     from stormx.fvm.solver import FvSolver
-    from stormx.mesh import read_tetgen
+    from stormx.mesh import read_tetgen, refine
 
-    mesh = read_tetgen("/root/reference/tests/_data/mesh/step.1.").optimize_for_tpu()
+    args = list(sys.argv[1:])
+    levels = 0
+    if "--levels" in args:
+        i = args.index("--levels")
+        levels = int(args[i + 1])
+        del args[i : i + 2]
+    mesh = read_tetgen("/root/reference/tests/_data/mesh/step.1.")
+    if levels:
+        mesh = refine(mesh, levels)
+    mesh = mesh.optimize_for_tpu()
     rng = np.random.default_rng(0)
     n = mesh.num_cells
+    print(f"{n} cells, {mesh.num_faces} faces", flush=True)
 
-    orders = (int(sys.argv[1]),) if len(sys.argv) > 1 else (1, 2)
-    bgs = (sys.argv[2] == "bg",) if len(sys.argv) > 2 else (False, True)
+    orders = (int(args[0]),) if len(args) > 0 else (1, 2)
+    bgs = (args[1] == "bg",) if len(args) > 1 else (False, True)
+    # Chain lengths scale down with mesh size to keep each timed run in
+    # seconds (Δ·step stays ≫ the relay dispatch floor).
+    reps_pair = (100, 400) if n < 300_000 else (20, 80)
     for order in orders:
         for bg in bgs:
             dm = mesh.device_arrays(dtype=jnp.float32, banded_gather=bg)
@@ -62,7 +76,7 @@ def main():
             # 100/400-step chains: Δ = 300 steps ≳ 150 ms even on the fast
             # path — large against the relay dispatch floor (the r4 lesson:
             # short chains gave 2× scatter on the SELL kernel).
-            for reps in (100, 400):
+            for reps in reps_pair:
                 c = chain(reps)
                 uw = fresh()
                 uw.block_until_ready()
@@ -75,7 +89,9 @@ def main():
                     c(ut).block_until_ready()
                     best = min(best, time.perf_counter() - t0)
                 times[reps] = best
-            s = (times[400] - times[100]) / 300.0
+            s = (times[reps_pair[1]] - times[reps_pair[0]]) / (
+                reps_pair[1] - reps_pair[0]
+            )
             print(
                 f"order={order} banded_gather={bg!s:5s} "
                 f"{s * 1e3:9.3f} ms/step",

@@ -25,20 +25,37 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from perf_amg_tpu import poisson_dia
+def poisson_host(nx, eps=1.0, dtype=np.float32):
+    """Host replica of perf_amg_tpu.poisson_dia: -uxx - eps*uyy, 5-point.
+
+    Kept NumPy end-to-end — the device DIA is materialized ONCE at the end
+    of main(); building host structures from device-resident jnp arrays
+    costs minutes of relay-tunnel round trips at n~1M (CLAUDE.md r5).
+    """
+    n = nx * nx
+    offs = (-nx, -1, 0, 1, nx)
+    data = np.zeros((5, n), dtype)
+    i = np.arange(n)
+    data[2] = 2.0 + 2.0 * eps
+    for k, off in enumerate(offs):
+        if off == 0:
+            continue
+        j = i + off
+        valid = (j >= 0) & (j < n)
+        if abs(off) == 1:
+            valid &= (i // nx) == (j // nx)
+        data[k][valid] = -1.0 if abs(off) == 1 else -eps
+    return data, offs
 
 
-def dia_to_csr(dia):
-    """Host DIA → CSR with explicit diagonal slots (factorization input)."""
-    import jax.numpy as jnp
-
+def dia_to_csr(data, offsets, n):
+    """Host DIA arrays → host CSR with explicit diagonal slots
+    (factorization input; factorizations run on host anyway)."""
     from stormx.sparse.formats import CSR
 
-    data = np.asarray(dia.data)
-    n = dia.shape[0]
     i = np.arange(n)
     rows, cols, vals = [], [], []
-    for d, off in enumerate(dia.offsets):
+    for d, off in enumerate(offsets):
         j = i + off
         valid = (j >= 0) & (j < n)
         keep = valid & ((data[d] != 0) | (off == 0))
@@ -52,9 +69,9 @@ def dia_to_csr(dia):
     rp = np.zeros(n + 1, np.int64)
     np.add.at(rp, rows + 1, 1)
     return CSR(
-        data=jnp.asarray(vals[order]),
-        indices=jnp.asarray(cols[order].astype(np.int32)),
-        row_ptr=jnp.asarray(np.cumsum(rp).astype(np.int32)),
+        data=vals[order],
+        indices=cols[order].astype(np.int32),
+        row_ptr=np.cumsum(rp).astype(np.int32),
         shape=(n, n),
     )
 
@@ -82,14 +99,18 @@ def main():
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     eps = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     flt = sys.argv[3] if len(sys.argv) > 3 else ""
-    dia = poisson_dia(nx, eps=eps)
+    from stormx.sparse import DIA
+
+    data_np, offs = poisson_host(nx, eps=eps)
     n = nx * nx
-    csr = dia_to_csr(dia)
+    csr = dia_to_csr(data_np, offs, n)
+    dia = DIA(data=jnp.asarray(data_np), offsets=offs, shape=(n, n))
+    print(f"built n={n} (host) + device DIA", flush=True)
     rng = np.random.default_rng(0)
     opts = SolverOptions(
         num_iterations=20000, absolute_tolerance=0.0, relative_tolerance=1e-5
     )
-    d0 = jnp.asarray(np.asarray(dia.data)[2])
+    d0 = jnp.asarray(data_np[2])
 
     # (name, solver, preconditioner factory)
     configs = {

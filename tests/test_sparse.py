@@ -283,3 +283,20 @@ class TestSlicedEll:
         assert bool(res.converged)
         r = np.asarray(sell.matvec(res.x)) - rhs[perm]
         assert np.linalg.norm(r) < 1e-9 * max(np.linalg.norm(rhs), 1.0)
+
+
+def test_ell_from_csr_host_intermediate():
+    """device=False keeps ELL leaves as NumPy (relay-tunnel fix, r5):
+    build intermediates must not round-trip through the device."""
+    import numpy as np
+
+    from stormx.sparse.formats import csr_from_dense, ell_from_csr
+
+    a = np.array([[2.0, -1.0, 0.0], [-1.0, 2.0, -1.0], [0.0, -1.0, 2.0]])
+    csr = csr_from_dense(a)
+    ell_host = ell_from_csr(csr, device=False)
+    assert isinstance(ell_host.data, np.ndarray)
+    assert isinstance(ell_host.cols, np.ndarray)
+    ell_dev = ell_from_csr(csr)
+    np.testing.assert_array_equal(np.asarray(ell_dev.data), ell_host.data)
+    np.testing.assert_array_equal(np.asarray(ell_dev.cols), ell_host.cols)
