@@ -10,7 +10,11 @@ pipeline at ``refine(step, 2)`` = **1,274,752 cells** (and refine×1 =
              and per-block span distribution, BandedGatherPlan stats (CPU)
     spmv   — pallas_sell Gnnz/s at scale, slope protocol (TPU)
     cg     — CG(+Jacobi) time-to-tol on the 1.27M-cell Laplacian (TPU)
-    ch     — assembled Cahn–Hilliard implicit-step timing at scale (TPU)
+    amg    — AMG setup wall time + CG+AMG vs CG+Jacobi (TPU; use
+             timeout 1100 — two large program compiles + ~60 MB of
+             hierarchy H2D ride the slow relay tunnel)
+    ch     — assembled Cahn–Hilliard implicit-step timing at scale (TPU;
+             timeout 1100 — in-process mesh+assembly is ~5 min)
 
 Timing rules per CLAUDE.md: chained reps inside one jit, fresh inputs per
 timed run, inputs block_until_ready'd before timing, slopes between two
