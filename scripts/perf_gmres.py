@@ -16,7 +16,9 @@ Stages:
     dia   — 4.2M-row 5-diagonal Poisson operator (bench.py's; XLA DIA path)
     sell  — 79,672-cell step SlicedELL operator (pallas kernel path)
 
-Usage:  timeout 560 python scripts/perf_gmres.py dia|sell
+Usage:  timeout 560 python scripts/perf_gmres.py dia|sell|scale
+(scale = the 1.27M-cell refined-step SlicedELL operator; needs the
+perf_scale.py lv=2 cache)
 """
 
 import os
@@ -132,6 +134,18 @@ def sell_stage():
     measure(lambda v: sell_matvec_pallas(sell, v), n, (200, 1000), "sell-step")
 
 
+def scale_stage():
+    setup()
+    from perf_scale import build_operator, build_sell
+    from stormx.ops.pallas_sell import sell_matvec_pallas
+
+    csr, centers, _ = build_operator(2)
+    sell, _ = build_sell(csr, centers, R=512)
+    n = csr.shape[0]
+    print(f"SlicedELL refined-step operator: n={n}, C={sell.window}", flush=True)
+    measure(lambda v: sell_matvec_pallas(sell, v), n, (100, 300), "sell-1.27M")
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "dia"
-    {"dia": dia_stage, "sell": sell_stage}[stage]()
+    {"dia": dia_stage, "sell": sell_stage, "scale": scale_stage}[stage]()
